@@ -1,0 +1,154 @@
+"""Modulator settings (mirror of the reference's mod_settings_t,
+src/ConfigParser.h:44-95) plus the INI/CLI parsing that fills it
+(src/ConfigParser.cpp:87-641)."""
+from __future__ import annotations
+
+import configparser
+import dataclasses
+
+from .ops.ofdm import GAIN_FIX, GAIN_MAX, GAIN_VAR
+from . import tables
+
+GAIN_MODES = {"fix": GAIN_FIX, "max": GAIN_MAX, "var": GAIN_VAR,
+              "0": GAIN_FIX, "1": GAIN_MAX, "2": GAIN_VAR}
+
+
+@dataclasses.dataclass
+class ModSettings:
+    # input
+    input_name: str = ""
+    input_transport: str = "file"        # file | tcp | zmq | edi
+    loop: bool = False
+    # output
+    output: str = ""                     # file | zmq | ...
+    output_name: str = ""
+    file_output_format: str = "complexf"
+    zmq_output_socket_type: str = "pub"
+    output_rate: int = 2_048_000
+    cic_eq_clock_rate: int = 0
+    # modulator
+    dab_mode: int = 0                    # 0 = derive from ETI MID
+    digital_gain: float = 1.0
+    gain_mode: int = GAIN_VAR
+    gain_mode_variance: float = 4.0
+    normalise: float = 1.0
+    # CFR
+    enable_cfr: bool = False
+    cfr_clip: float = 0.0
+    cfr_error_clip: float = 0.0
+    # OFDM windowing
+    ofdm_window_overlap: int = 0
+    # FIR
+    filter_taps_file: str = ""           # "" disables, "default" = built-in
+    # DPD
+    poly_coef_file: str = ""
+    # TII
+    tii_enable: bool = False
+    tii_comb: int = 0
+    tii_pattern: int = 0
+    tii_old_variant: bool = False
+    # timestamps / SFN
+    tist_enabled: bool = False
+    tist_offset: float = 0.0
+    # runtime / batching (TPU-native additions)
+    batch_tf: int = 8                    # transmission frames per device step
+    show_process_time: bool = True
+
+    def normalise_for_output(self):
+        """Set self.normalise per output type, mirroring prepare_output
+        (ref: src/DabMod.cpp:250-363)."""
+        if self.output == "file":
+            fmt = self.file_output_format
+            if fmt == "complexf":
+                pass
+            elif fmt == "complexf_normalised":
+                if self.gain_mode == GAIN_FIX:
+                    self.normalise = 1.0 / tables.NORMALISE_FACTOR_FILE_FIX
+                elif self.gain_mode == GAIN_MAX:
+                    self.normalise = 1.0 / tables.NORMALISE_FACTOR_FILE_MAX
+                else:
+                    self.normalise = 1.0 / tables.NORMALISE_FACTOR_FILE_VAR
+            elif fmt == "s16":
+                self.normalise = 32767.0 / tables.NORMALISE_FACTOR_SDR
+            elif fmt in ("s8", "u8"):
+                self.normalise = 127.0 / tables.NORMALISE_FACTOR_SDR
+            else:
+                raise ValueError(f"unknown file output format {fmt}")
+        elif self.output in ("zmq", "uhd", "soapy", "lime"):
+            self.normalise = 1.0 / tables.NORMALISE_FACTOR_SDR
+        elif self.output == "bladerf":
+            self.normalise = 2047.0 / tables.NORMALISE_FACTOR_SDR
+        elif self.output == "dexter":
+            self.normalise = 32767.0 / tables.NORMALISE_FACTOR_SDR
+        return self
+
+
+def parse_ini(path: str) -> ModSettings:
+    """Parse an odr-dabmod INI configuration file
+    (section/key grammar per src/ConfigParser.cpp:87-477, doc/example.ini)."""
+    cp = configparser.ConfigParser(strict=False, inline_comment_prefixes=(";", "#"))
+    cp.read(path)
+    s = ModSettings()
+
+    def get(sec, key, fallback=None):
+        return cp.get(sec, key, fallback=fallback)
+
+    def getint(sec, key, fallback=0):
+        return cp.getint(sec, key, fallback=fallback)
+
+    def getfloat(sec, key, fallback=0.0):
+        return cp.getfloat(sec, key, fallback=fallback)
+
+    def getbool(sec, key, fallback=False):
+        try:
+            return cp.getboolean(sec, key, fallback=fallback)
+        except ValueError:
+            return bool(getint(sec, key, int(fallback)))
+
+    s.input_transport = get("input", "transport", "file")
+    s.input_name = get("input", "source", "/dev/stdin")
+    s.loop = getbool("input", "loop", False)
+
+    s.dab_mode = getint("modulator", "mode", 0)
+    s.digital_gain = getfloat("modulator", "digital_gain", 1.0)
+    gm = get("modulator", "gainmode", "var").lower()
+    if gm not in GAIN_MODES:
+        raise ValueError(f"invalid gainmode {gm}")
+    s.gain_mode = GAIN_MODES[gm]
+    s.gain_mode_variance = getfloat("modulator", "normalise_variance", 4.0)
+    s.output_rate = getint("modulator", "rate", 2_048_000)
+    s.ofdm_window_overlap = getint("modulator", "ofdmwindowing", 0)
+
+    s.enable_cfr = getbool("cfr", "enable", False)
+    s.cfr_clip = getfloat("cfr", "clip", 0.0)
+    s.cfr_error_clip = getfloat("cfr", "errorclip", 0.0)
+
+    if getbool("firfilter", "enabled", False):
+        s.filter_taps_file = get("firfilter", "filtertapsfile", "default")
+
+    if getbool("poly", "enabled", False):
+        s.poly_coef_file = get("poly", "polycoeffile", "")
+
+    s.tii_enable = getbool("tii", "enable", False)
+    s.tii_comb = getint("tii", "comb", 0)
+    s.tii_pattern = getint("tii", "pattern", 0)
+    s.tii_old_variant = getbool("tii", "old_variant", False)
+
+    # output selection: first enabled [xyzoutput] section wins, like getopt
+    if getbool("output", "file", False) or cp.has_section("fileoutput"):
+        s.output = "file"
+        s.output_name = get("fileoutput", "filename", "")
+        s.file_output_format = get("fileoutput", "format", "complexf")
+    if cp.has_section("zmqoutput") and getbool("zmqoutput", "enabled", True) \
+            and get("zmqoutput", "listen", None):
+        s.output = "zmq"
+        s.output_name = get("zmqoutput", "listen")
+        s.zmq_output_socket_type = get("zmqoutput", "socket_type", "pub")
+
+    s.tist_enabled = getbool("delaymanagement", "synchronous", False)
+    s.tist_offset = getfloat("delaymanagement", "offset", 0.0)
+
+    s.show_process_time = getbool("log", "show_process_time", True)
+    s.batch_tf = getint("modulator", "batch_tf", 8)
+    s.normalise_for_output()
+    return s

@@ -1,0 +1,265 @@
+"""The fused TPU-native DAB modulator.
+
+This replaces the reference's Flowgraph-of-plugins executor
+(src/Flowgraph.cpp, src/DabModulator.cpp:125-425) with a single pure jitted
+function over a *batch* of transmission frames:
+
+    iq, state = modulate(fic_bytes, (subch_bytes, ...), state, gains...)
+
+All mode/ensemble-dependent tables are precomputed in NumPy at construction
+and closed over as device constants; the only sequential state is the
+16-CIF time-interleaver history, the resampler overlap carries and the TF
+index (TII every-other-TF toggle) -- everything else is embarrassingly
+parallel over the TF axis, which is also the multi-chip sharding axis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..config import ModSettings
+from ..eti import EnsembleLayout, EtiFrameBatch
+from ..ops import fec, ofdm, filters
+
+
+class Modulator:
+    """Compiled modulator for one (mode, ensemble layout, settings) triple."""
+
+    def __init__(self, layout: EnsembleLayout, settings: ModSettings | None = None):
+        self.layout = layout
+        self.settings = s = settings or ModSettings()
+        mode = s.dab_mode if s.dab_mode else layout.dab_mode
+        self.mode = mode
+        self.p = p = tables.mode_params(mode)
+
+        # --- FEC tables ---
+        self._fic_prbs = jnp.asarray(tables.prbs_bits(p.fic_size_in))
+        fic_conv, _ = tables.conv_gather_tables(p.fic_size_in * 8)
+        self._fic_conv = jnp.asarray(fic_conv)
+        fic_idx, fic_out_bytes = tables.puncture_gather(
+            tables.fic_rules(layout.mid), p.fic_size_in * 4 + 3)
+        assert fic_out_bytes == p.fic_size_out, (fic_out_bytes, p.fic_size_out)
+        self._fic_punct = jnp.asarray(fic_idx)
+
+        self._subch_prbs = []
+        self._subch_conv = []
+        self._subch_punct = []
+        self._subch_delays = []
+        self._subch_offsets = []
+        for sub in layout.subchannels:
+            n = sub.framesize
+            self._subch_prbs.append(jnp.asarray(tables.prbs_bits(n)))
+            conv_idx, _ = tables.conv_gather_tables(n * 8)
+            self._subch_conv.append(jnp.asarray(conv_idx))
+            pidx, pbytes = tables.puncture_gather(
+                sub.rules(), n * 4 + 3, out_bytes_expected=sub.framesize_cu * 8)
+            self._subch_punct.append(jnp.asarray(pidx))
+            self._subch_delays.append(jnp.asarray(
+                tables.time_interleave_delays(pbytes * 8)))
+            self._subch_offsets.append(sub.start_address * 64)
+
+        self._cif_filler = jnp.asarray(tables.prbs_bits(tables.CIF_BYTES))
+
+        # --- OFDM tables ---
+        self._inv_perm = jnp.asarray(tables.freq_interleave_inverse(mode))
+        self._ref_q = jnp.asarray(tables.phase_ref_eighths(mode))
+        bm_src, bm_valid = tables.bin_map(mode)
+        self._bin_src = jnp.asarray(bm_src)
+        self._bin_valid = jnp.asarray(bm_valid.astype(np.complex64))
+        self._gi = tuple(jnp.asarray(a) for a in tables.guard_interval_tables(
+            mode, s.ofdm_window_overlap))
+
+        # --- TII ---
+        if s.tii_enable:
+            self._tii_vec = jnp.asarray(tables.tii_symbol(
+                mode, s.tii_comb, s.tii_pattern, s.tii_old_variant))
+        else:
+            self._tii_vec = None
+
+        # --- FIR ---
+        if s.filter_taps_file:
+            if s.filter_taps_file == "default":
+                taps = tables.DEFAULT_FIR_TAPS
+            else:
+                taps = load_fir_taps(s.filter_taps_file)
+            self._fir_taps = jnp.asarray(taps)
+        else:
+            self._fir_taps = None
+
+        # --- Resampler ---
+        if s.output_rate != 2_048_000:
+            self._res_plan = filters.ResamplerPlan.create(
+                2_048_000, s.output_rate, p.spacing)
+        else:
+            self._res_plan = None
+
+        # --- DPD ---
+        if s.poly_coef_file:
+            am, pm = load_poly_coefs(s.poly_coef_file)
+            self._poly_am = jnp.asarray(am)
+            self._poly_pm = jnp.asarray(pm)
+        else:
+            self._poly_am = None
+            self._poly_pm = None
+
+        self._modulate = jax.jit(self._modulate_impl, donate_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    @property
+    def tf_samples_out(self) -> int:
+        n = self.p.tf_samples
+        if self._res_plan:
+            n = n * self._res_plan.L // self._res_plan.M
+        return n
+
+    def init_state(self):
+        """Initial sequential state (a pytree carried between batches)."""
+        state = {
+            "ti_history": tuple(
+                jnp.zeros((15, int(d.shape[0])), jnp.uint8)
+                for d in self._subch_delays),
+            "tf_index": jnp.zeros((), jnp.int32),
+        }
+        if self._res_plan:
+            state["res_in_tail"] = jnp.zeros(
+                self._res_plan.fft_in // 2, jnp.complex64)
+            state["res_out_tail"] = jnp.zeros(
+                self._res_plan.fft_out // 2, jnp.complex64)
+        return state
+
+    # ------------------------------------------------------------------
+    def _modulate_impl(self, fic_bytes, subch_bytes, state,
+                       constant_gain, var_k):
+        p = self.p
+        C = p.cif_count
+        T = fic_bytes.shape[0]
+        B = T // C
+
+        # ---------------- FEC: FIC ----------------
+        fic_bits = fec.unpack_bits(fic_bytes)
+        fic_out = fec.fec_path(fic_bits, self._fic_prbs, self._fic_conv,
+                               self._fic_punct)
+
+        # ---------------- FEC: sub-channels ----------------
+        cif_parts = []
+        new_hist = []
+        for i in range(len(self.layout.subchannels)):
+            bits = fec.unpack_bits(subch_bytes[i])
+            pb = fec.fec_path(bits, self._subch_prbs[i], self._subch_conv[i],
+                              self._subch_punct[i])
+            ti, h = fec.time_interleave(pb, state["ti_history"][i],
+                                        self._subch_delays[i])
+            cif_parts.append(ti)
+            new_hist.append(h)
+
+        cif = fec.assemble_cif(cif_parts, self._subch_offsets,
+                               self._cif_filler)
+        tf_bits = fec.block_partition(fic_out, cif, C)
+
+        # ---------------- OFDM ----------------
+        q = ofdm.qpsk_phase_indices(tf_bits, p.nb_carriers)
+        q = ofdm.freq_interleave(q, self._inv_perm)
+        phases = ofdm.diff_modulate(q, self._ref_q)
+        data_syms = ofdm.phases_to_carriers(phases)       # [B, 76, C]
+
+        tf_idx = state["tf_index"] + jnp.arange(B, dtype=jnp.int32)
+        if self._tii_vec is not None:
+            # TII in the NULL symbol of every other TF
+            # (ref: src/TII.cpp:241-243)
+            insert = (tf_idx % 2 == 0).astype(jnp.complex64)[:, None]
+            null_row = self._tii_vec[None, :] * insert
+        else:
+            null_row = jnp.zeros((B, p.nb_carriers), jnp.complex64)
+        symbols = jnp.concatenate([null_row[:, None, :], data_syms], axis=1)
+
+        bins = ofdm.to_bins(symbols, self._bin_src, self._bin_valid)
+        td = ofdm.ofdm_ifft(bins)                          # [B, S, spacing]
+
+        stats = {}
+        if self.settings.enable_cfr:
+            td, n_clip, n_err = ofdm.cfr_one_iteration(
+                td, bins, self.settings.cfr_clip, self.settings.cfr_error_clip)
+            stats["cfr_clip"] = n_clip
+            stats["cfr_errclip"] = n_err
+            stats["papr_after_cfr"] = filters.papr_db(
+                td[:, 1:].reshape(B, -1))
+
+        gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
+        td = ofdm.apply_gain(td, gains, constant_gain)
+
+        iq = ofdm.guard_interval(td, self._gi)             # [B, tf_samples]
+
+        if self._fir_taps is not None:
+            iq = filters.fir_filter_matmul(iq, self._fir_taps)
+
+        new_state = {"ti_history": tuple(new_hist),
+                     "tf_index": state["tf_index"] + B}
+
+        if self._res_plan:
+            flat = iq.reshape(-1)
+            y, in_tail, out_tail = filters.resample(
+                flat, self._res_plan, state["res_in_tail"],
+                state["res_out_tail"])
+            new_state["res_in_tail"] = in_tail
+            new_state["res_out_tail"] = out_tail
+            iq = y.reshape(B, -1)
+
+        if self._poly_am is not None:
+            iq = filters.memless_poly(iq, self._poly_am, self._poly_pm)
+
+        return iq, new_state, stats
+
+    # ------------------------------------------------------------------
+    def modulate(self, fic_bytes, subch_bytes, state):
+        """Run one batch.  fic_bytes [T, fic_len] uint8, subch_bytes tuple of
+        [T, framesize] uint8 with T a multiple of cif_count."""
+        s = self.settings
+        return self._modulate(
+            jnp.asarray(fic_bytes), tuple(jnp.asarray(x) for x in subch_bytes),
+            state, jnp.float32(s.normalise * s.digital_gain),
+            jnp.float32(s.gain_mode_variance))
+
+    def modulate_eti(self, batch: EtiFrameBatch, state):
+        """Convenience: modulate a parsed ETI batch."""
+        return self.modulate(batch.fic, tuple(batch.subchannels), state)
+
+
+def make_default_layout(mode: int = 1,
+                        subch_specs=((0, 24, 0x22),)) -> EnsembleLayout:
+    params = tuple(tables.SubchannelParams(sad, stl * 8, tpl)
+                   for sad, stl, tpl in subch_specs)
+    mid = {1: 1, 2: 2, 3: 3, 4: 0}[mode]
+    return EnsembleLayout(mid, len(params), 128 if mid == 3 else 96,
+                          params, tuple(range(len(params))))
+
+
+def load_fir_taps(path: str) -> np.ndarray:
+    """Taps file format: first line count, then one float per line
+    (ref: src/FIRFilter.cpp:95-134)."""
+    with open(path) as f:
+        toks = f.read().split()
+    n = int(toks[0])
+    taps = np.array([float(t) for t in toks[1:1 + n]], dtype=np.float32)
+    if taps.size != n:
+        raise ValueError(f"taps file {path}: expected {n} taps, got {taps.size}")
+    return taps
+
+
+def load_poly_coefs(path: str):
+    """DPD coefficient file, format indicator 1 = poly with 2x5 coefs
+    (ref: src/MemlessPoly.cpp:150-232)."""
+    with open(path) as f:
+        toks = f.read().split()
+    kind = int(toks[0])
+    if kind != 1:
+        raise ValueError("only poly coefficient files (format 1) supported")
+    n = int(toks[1])
+    if n != 5:
+        raise ValueError("expected 5 AM and 5 PM coefficients")
+    vals = [float(t) for t in toks[2:2 + 10]]
+    return (np.array(vals[:5], np.float32), np.array(vals[5:], np.float32))

@@ -1,0 +1,240 @@
+// Golden test-vector generator.
+//
+// Compiles the *reference* implementation's DSP stages (from /root/reference,
+// read-only) into a standalone dumper, so the TPU-native reimplementation in
+// this repository can be validated bit-exactly against the original without
+// building the whole odr-dabmod binary (FFTW/ZMQ are unavailable here).
+//
+// Build (see tools/make_golden.sh):
+//   g++ -O2 -std=c++17 -I$REF/src -I$REF/lib -I$REF golden_harness.cpp \
+//       $REF/src/{PrbsGenerator,ConvEncoder,PuncturingEncoder,PuncturingRule,\
+//                 TimeInterleaver,QpskSymbolMapper,FrequencyInterleaver,\
+//                 PhaseReference,DifferentialModulator,GuardIntervalInserter,\
+//                 TII,SubchannelSource,FicSource,Buffer,ModPlugin}.cpp \
+//       golden_stubs.cpp -o refgold
+//
+// Usage: refgold <outdir>   -- writes <name>.bin files + manifest.txt lines
+//                              "<name> <dtype> <n_elements>"
+
+#include <cstdio>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <complex>
+
+#include "Buffer.h"
+#include "PrbsGenerator.h"
+#include "ConvEncoder.h"
+#include "PuncturingEncoder.h"
+#include "TimeInterleaver.h"
+#include "QpskSymbolMapper.h"
+#include "FrequencyInterleaver.h"
+#include "PhaseReference.h"
+#include "DifferentialModulator.h"
+#include "GuardIntervalInserter.h"
+#include "TII.h"
+#include "SubchannelSource.h"
+#include "FicSource.h"
+
+static FILE* g_manifest = nullptr;
+static std::string g_outdir;
+
+static void dump(const std::string& name, const char* dtype,
+                 const void* data, size_t bytes, size_t elems) {
+    std::string path = g_outdir + "/" + name + ".bin";
+    FILE* f = fopen(path.c_str(), "wb");
+    fwrite(data, 1, bytes, f);
+    fclose(f);
+    fprintf(g_manifest, "%s %s %zu\n", name.c_str(), dtype, elems);
+}
+
+static void dump_buf_u8(const std::string& name, Buffer& b) {
+    dump(name, "u8", b.getData(), b.getLength(), b.getLength());
+}
+
+static void dump_buf_cf(const std::string& name, Buffer& b) {
+    dump(name, "c8", b.getData(), b.getLength(),
+         b.getLength() / sizeof(complexf));
+}
+
+// Deterministic xorshift PRNG so Python tests can regenerate the inputs.
+static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
+static uint64_t xorshift64() {
+    uint64_t x = rng_state;
+    x ^= x << 13; x ^= x >> 7; x ^= x << 17;
+    rng_state = x;
+    return x;
+}
+static void fill_bytes(Buffer& b, size_t n) {
+    b.setLength(n);
+    uint8_t* p = reinterpret_cast<uint8_t*>(b.getData());
+    for (size_t i = 0; i < n; i++) p[i] = xorshift64() & 0xff;
+}
+static void fill_cf(Buffer& b, size_t n) {
+    b.setLength(n * sizeof(complexf));
+    complexf* p = reinterpret_cast<complexf*>(b.getData());
+    for (size_t i = 0; i < n; i++) {
+        float re = (int64_t)(xorshift64() % 2000001) / 1000000.0f - 1.0f;
+        float im = (int64_t)(xorshift64() % 2000001) / 1000000.0f - 1.0f;
+        p[i] = complexf(re, im);
+    }
+}
+
+int main(int argc, char** argv) {
+    if (argc < 2) { fprintf(stderr, "usage: refgold <outdir>\n"); return 1; }
+    g_outdir = argv[1];
+    g_manifest = fopen((g_outdir + "/manifest.txt").c_str(), "w");
+
+    // ---- PRBS ----
+    for (size_t n : {96u, 288u, 6912u}) {
+        PrbsGenerator prbs(n, 0x110);
+        Buffer out;
+        prbs.process({}, {&out});
+        dump_buf_u8("prbs_" + std::to_string(n), out);
+    }
+    {   // PRBS applied onto data (XOR path)
+        PrbsGenerator prbs(96, 0x110);
+        Buffer in, out;
+        fill_bytes(in, 96);
+        dump_buf_u8("prbs_xor_in", in);
+        prbs.process({&in}, {&out});
+        dump_buf_u8("prbs_xor_out", out);
+    }
+
+    // ---- Convolutional encoder ----
+    {
+        ConvEncoder conv(96);
+        Buffer in, out;
+        fill_bytes(in, 96);
+        dump_buf_u8("conv_in", in);
+        conv.process(&in, &out);
+        dump_buf_u8("conv_out", out);
+    }
+
+    // ---- FIC puncturing (mid=1 and mid=3) ----
+    for (unsigned mid : {1u, 3u}) {
+        FicSource fic(1, mid);
+        size_t fs = fic.getFramesize();
+        ConvEncoder conv(fs);
+        PuncturingEncoder punct;
+        for (const auto& r : fic.get_rules()) punct.append_rule(r);
+        punct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+        Buffer in, mid_b, out;
+        fill_bytes(in, fs);
+        dump_buf_u8("fic_punct_mid" + std::to_string(mid) + "_in", in);
+        conv.process(&in, &mid_b);
+        punct.process(&mid_b, &out);
+        dump_buf_u8("fic_punct_mid" + std::to_string(mid) + "_out", out);
+    }
+
+    // ---- Sub-channel puncturing: EEP-A3 64kbps, EEP-B4 96kbps, UEP 128/3,
+    //      UEP 32/1 (has padding byte) ----
+    struct SubSpec { uint16_t stl; uint8_t tpl; const char* name; };
+    for (SubSpec s : { SubSpec{24, 0x22, "eep_a3_64"},
+                       SubSpec{36, 0x27, "eep_b4_96"},
+                       SubSpec{48, 0x02, "uep_128_3"},
+                       SubSpec{12, 0x00, "uep_32_1"} }) {
+        SubchannelSource src(0, s.stl, s.tpl);
+        ConvEncoder conv(src.framesize());
+        PuncturingEncoder punct(src.framesizeCu());
+        for (const auto& r : src.get_rules()) punct.append_rule(r);
+        punct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+        Buffer in, mid_b, out;
+        fill_bytes(in, src.framesize());
+        dump_buf_u8(std::string("subch_") + s.name + "_in", in);
+        conv.process(&in, &mid_b);
+        punct.process(&mid_b, &out);
+        dump_buf_u8(std::string("subch_") + s.name + "_out", out);
+    }
+
+    // ---- Time interleaver: 40 sequential frames of 384 bytes ----
+    {
+        const size_t fs = 384, T = 40;
+        TimeInterleaver ti(fs);
+        std::vector<uint8_t> all_in, all_out;
+        for (size_t t = 0; t < T; t++) {
+            Buffer in, out;
+            fill_bytes(in, fs);
+            const uint8_t* p = reinterpret_cast<uint8_t*>(in.getData());
+            all_in.insert(all_in.end(), p, p + fs);
+            ti.process(&in, &out);
+            p = reinterpret_cast<uint8_t*>(out.getData());
+            all_out.insert(all_out.end(), p, p + fs);
+        }
+        dump("time_interleaver_in", "u8", all_in.data(), all_in.size(), all_in.size());
+        dump("time_interleaver_out", "u8", all_out.data(), all_out.size(), all_out.size());
+    }
+
+    // ---- QPSK mapper, mode 1 (one TF worth of bytes) ----
+    {
+        QpskSymbolMapper map(1536, false);
+        Buffer in, out;
+        fill_bytes(in, 28800);
+        dump_buf_u8("qpsk_in", in);
+        map.process(&in, &out);
+        dump_buf_cf("qpsk_out", out);
+    }
+
+    // ---- Frequency interleaver + phase reference, all modes ----
+    for (unsigned mode : {1u, 2u, 3u, 4u}) {
+        FrequencyInterleaver fi(mode, false);
+        PhaseReference pr(mode, false);
+        Buffer ref;
+        pr.process(&ref);
+        dump_buf_cf("phaseref_m" + std::to_string(mode), ref);
+        size_t carriers = ref.getLength() / sizeof(complexf);
+        Buffer in, out;
+        fill_cf(in, carriers * 3);
+        dump_buf_cf("freqint_m" + std::to_string(mode) + "_in", in);
+        fi.process(&in, &out);
+        dump_buf_cf("freqint_m" + std::to_string(mode) + "_out", out);
+    }
+
+    // ---- Differential modulator, mode 1, 75 data symbols ----
+    {
+        DifferentialModulator dm(1536, false);
+        PhaseReference pr(1, false);
+        Buffer phase, in, out;
+        pr.process(&phase);
+        fill_cf(in, 1536 * 75);
+        dump_buf_cf("diffmod_in", in);
+        std::vector<Buffer*> ins{&phase, &in};
+        dm.process(ins, &out);
+        dump_buf_cf("diffmod_out", out);
+    }
+
+    // ---- Guard interval inserter, mode 1, window 0 and 90 ----
+    for (size_t ov : {0u, 90u}) {
+        size_t window_overlap = ov;
+        GuardIntervalInserter gi(76, 2048, 2656, 2552, window_overlap,
+                                 FFTEngine::FFTW);
+        Buffer in, out;
+        fill_cf(in, 77 * 2048);
+        dump_buf_cf("guard_ov" + std::to_string(ov) + "_in", in);
+        gi.process(&in, &out);
+        dump_buf_cf("guard_ov" + std::to_string(ov) + "_out", out);
+    }
+
+    // ---- TII, mode 1 & 2, two comb/pattern combos, both variants ----
+    for (unsigned mode : {1u, 2u}) {
+        for (int old_variant : {0, 1}) {
+            tii_config_t conf;
+            conf.enable = true;
+            conf.comb = 5;
+            conf.pattern = 31;
+            conf.old_variant = old_variant;
+            TII tii(mode, conf, false);
+            PhaseReference pr(mode, false);
+            Buffer ref, out;
+            pr.process(&ref);
+            tii.process(&ref, &out);
+            dump_buf_cf("tii_m" + std::to_string(mode) +
+                        (old_variant ? "_old" : "_new"), out);
+        }
+    }
+
+    fclose(g_manifest);
+    printf("golden vectors written to %s\n", g_outdir.c_str());
+    return 0;
+}
