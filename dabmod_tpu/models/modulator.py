@@ -133,26 +133,23 @@ class Modulator:
         return state
 
     # ------------------------------------------------------------------
-    def _modulate_impl(self, fic_bytes, subch_bytes, state,
-                       constant_gain, var_k):
+    def _frontend_impl(self, fic_bytes, subch_bytes, ti_history):
+        """Bit-domain FEC + carrier mapping: ETI payload bytes ->
+        differential-modulated carrier symbols [B, nb_symbols, C]."""
         p = self.p
         C = p.cif_count
-        T = fic_bytes.shape[0]
-        B = T // C
 
-        # ---------------- FEC: FIC ----------------
         fic_bits = fec.unpack_bits(fic_bytes)
         fic_out = fec.fec_path(fic_bits, self._fic_prbs, self._fic_conv,
                                self._fic_punct)
 
-        # ---------------- FEC: sub-channels ----------------
         cif_parts = []
         new_hist = []
         for i in range(len(self.layout.subchannels)):
             bits = fec.unpack_bits(subch_bytes[i])
             pb = fec.fec_path(bits, self._subch_prbs[i], self._subch_conv[i],
                               self._subch_punct[i])
-            ti, h = fec.time_interleave(pb, state["ti_history"][i],
+            ti, h = fec.time_interleave(pb, ti_history[i],
                                         self._subch_delays[i])
             cif_parts.append(ti)
             new_hist.append(h)
@@ -161,11 +158,26 @@ class Modulator:
                                self._cif_filler)
         tf_bits = fec.block_partition(fic_out, cif, C)
 
-        # ---------------- OFDM ----------------
         q = ofdm.qpsk_phase_indices(tf_bits, p.nb_carriers)
         q = ofdm.freq_interleave(q, self._inv_perm)
         phases = ofdm.diff_modulate(q, self._ref_q)
-        data_syms = ofdm.phases_to_carriers(phases)       # [B, 76, C]
+        return ofdm.phases_to_carriers(phases), tuple(new_hist)
+
+    def frontend(self, fic_bytes, subch_bytes, ti_history):
+        """Jitted front end (exposed for stage-level validation)."""
+        if not hasattr(self, "_frontend_jit"):
+            self._frontend_jit = jax.jit(self._frontend_impl)
+        return self._frontend_jit(
+            jnp.asarray(fic_bytes),
+            tuple(jnp.asarray(x) for x in subch_bytes), ti_history)
+
+    def _modulate_impl(self, fic_bytes, subch_bytes, state,
+                       constant_gain, var_k):
+        p = self.p
+        B = fic_bytes.shape[0] // p.cif_count
+
+        data_syms, new_hist = self._frontend_impl(
+            fic_bytes, subch_bytes, state["ti_history"])   # [B, 76, C]
 
         tf_idx = state["tf_index"] + jnp.arange(B, dtype=jnp.int32)
         if self._tii_vec is not None:
@@ -197,7 +209,7 @@ class Modulator:
         if self._fir_taps is not None:
             iq = filters.fir_filter_matmul(iq, self._fir_taps)
 
-        new_state = {"ti_history": tuple(new_hist),
+        new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B}
 
         if self._res_plan:

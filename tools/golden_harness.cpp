@@ -36,6 +36,24 @@
 #include "TII.h"
 #include "SubchannelSource.h"
 #include "FicSource.h"
+#include "FrameMultiplexer.h"
+#include "BlockPartitioner.h"
+#include "EtiReader.h"
+
+// EtiSource::getFic is defined in EtiReader.cpp, which we don't compile.
+std::shared_ptr<FicSource>& EtiSource::getFic() { return myFicSource; }
+
+// Fixed-layout ETI source for the end-to-end front-end chain.
+class FakeEtiSource : public EtiSource {
+public:
+    unsigned getMode() override { return 1; }
+    unsigned getFp() override { return 0; }
+    unsigned getFct() override { return 0; }
+    frame_timestamp getTimestamp() override { return frame_timestamp(); }
+    const std::vector<std::shared_ptr<SubchannelSource> > getSubchannels()
+            const override { return m_subs; }
+    std::vector<std::shared_ptr<SubchannelSource> > m_subs;
+};
 
 static FILE* g_manifest = nullptr;
 static std::string g_outdir;
@@ -232,6 +250,107 @@ int main(int argc, char** argv) {
             dump_buf_cf("tii_m" + std::to_string(mode) +
                         (old_variant ? "_old" : "_new"), out);
         }
+    }
+
+    // ---- End-to-end front end: ETI payloads -> diff-mod symbol stream ----
+    // Mode 1, two sub-channels: EEP-A3 64kbps @CU0 (48 CU) and UEP 128kbps
+    // level 3 @CU48.  8 ETI frames = 2 transmission frames.
+    {
+        FakeEtiSource src;
+        src.m_subs.push_back(std::make_shared<SubchannelSource>(0, 24, 0x22));
+        src.m_subs.push_back(std::make_shared<SubchannelSource>(48, 48, 0x02));
+
+        PrbsGenerator ficPrbs(96, 0x110);
+        ConvEncoder ficConv(96);
+        PuncturingEncoder ficPunct;
+        FicSource fic(1, 1);
+        for (const auto& r : fic.get_rules()) ficPunct.append_rule(r);
+        ficPunct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+
+        struct SubChain {
+            PrbsGenerator prbs;
+            ConvEncoder conv;
+            PuncturingEncoder punct;
+            TimeInterleaver ti;
+            SubChain(size_t fs, size_t cu,
+                     const std::vector<PuncturingRule>& rules)
+                : prbs(fs, 0x110), conv(fs), punct(cu), ti(cu * 8) {
+                for (const auto& r : rules) punct.append_rule(r);
+                punct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+            }
+        };
+        std::vector<std::unique_ptr<SubChain>> chains;
+        for (auto& s : src.m_subs) {
+            chains.emplace_back(std::make_unique<SubChain>(
+                s->framesize(), s->framesizeCu(), s->get_rules()));
+        }
+
+        PrbsGenerator cifPrbs(864 * 8, 0x110);
+        FrameMultiplexer mux(src);
+        BlockPartitioner part(1);
+        QpskSymbolMapper map(1536, false);
+        FrequencyInterleaver freq(1, false);
+        PhaseReference pref(1, false);
+        DifferentialModulator diff(1536, false);
+
+        std::vector<uint8_t> all_fic, all_sub0, all_sub1;
+        std::vector<complexf> all_syms;
+
+        // BlockPartitioner accumulates into its output buffer across calls
+        // (the flowgraph keeps edge buffers alive), so it must outlive the
+        // frame loop.
+        Buffer tfblock;
+
+        for (int frame = 0; frame < 8; frame++) {
+            Buffer ficIn, t1, t2, ficOut;
+            fill_bytes(ficIn, 96);
+            {
+                const uint8_t* p = (const uint8_t*)ficIn.getData();
+                all_fic.insert(all_fic.end(), p, p + 96);
+            }
+            ficPrbs.process({&ficIn}, {&t1});
+            ficConv.process(&t1, &t2);
+            ficPunct.process(&t2, &ficOut);
+
+            std::vector<Buffer> subOut(chains.size());
+            for (size_t i = 0; i < chains.size(); i++) {
+                Buffer in, a, b, c;
+                fill_bytes(in, src.m_subs[i]->framesize());
+                const uint8_t* p = (const uint8_t*)in.getData();
+                auto& sink = (i == 0) ? all_sub0 : all_sub1;
+                sink.insert(sink.end(), p, p + in.getLength());
+                chains[i]->prbs.process({&in}, {&a});
+                chains[i]->conv.process(&a, &b);
+                chains[i]->punct.process(&b, &c);
+                chains[i]->ti.process(&c, &subOut[i]);
+            }
+
+            Buffer filler, cif;
+            cifPrbs.process({}, {&filler});
+            std::vector<Buffer*> muxIn{&filler};
+            for (auto& b : subOut) muxIn.push_back(&b);
+            mux.process(muxIn, &cif);
+
+            std::vector<Buffer*> partIn{&ficOut, &cif};
+            int full = part.process(partIn, &tfblock);
+            if (full) {
+                Buffer mapped, interleaved, ref, symbols;
+                map.process(&tfblock, &mapped);
+                freq.process(&mapped, &interleaved);
+                pref.process(&ref);
+                std::vector<Buffer*> diffIn{&ref, &interleaved};
+                diff.process(diffIn, &symbols);
+                const complexf* p = (const complexf*)symbols.getData();
+                all_syms.insert(all_syms.end(),
+                                p, p + symbols.getLength() / sizeof(complexf));
+            }
+        }
+
+        dump("e2e_fic_in", "u8", all_fic.data(), all_fic.size(), all_fic.size());
+        dump("e2e_sub0_in", "u8", all_sub0.data(), all_sub0.size(), all_sub0.size());
+        dump("e2e_sub1_in", "u8", all_sub1.data(), all_sub1.size(), all_sub1.size());
+        dump("e2e_symbols", "c8", all_syms.data(),
+             all_syms.size() * sizeof(complexf), all_syms.size());
     }
 
     fclose(g_manifest);

@@ -26,6 +26,8 @@ g++ -O2 -std=c++17 -w -DPACKAGE_NAME='"refgold"' -DVERSION='"golden"' \
     "$REF/src/FicSource.cpp" \
     "$REF/src/Buffer.cpp" \
     "$REF/src/ModPlugin.cpp" \
+    "$REF/src/FrameMultiplexer.cpp" \
+    "$REF/src/BlockPartitioner.cpp" \
     -o "$BUILD/refgold"
 
 mkdir -p "$REPO/tests/golden"
