@@ -1,0 +1,82 @@
+"""Output sinks: file (all sample formats), ZeroMQ PUB/REP.
+
+Mirror of src/OutputFile.cpp and src/OutputZeroMQ.cpp; samples arrive as
+device arrays of complex64 TFs already normalised/gained and are converted
+to the wire format on the host (interleaved I/Q, little endian).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def serialize_iq(iq: np.ndarray, fmt: str) -> bytes:
+    """Convert samples into the chosen interleaved format with saturation,
+    matching FormatConverter semantics (src/FormatConverter.cpp:62-206;
+    C float->int conversion truncates).
+
+    `iq` is either pair-domain [..., N, 2] float32 (the native layout, which
+    is already interleaved I/Q when flattened) or complex."""
+    x = np.asarray(iq)
+    if np.iscomplexobj(x):
+        interleaved = np.empty(x.size * 2, np.float32)
+        interleaved[0::2] = x.real.reshape(-1)
+        interleaved[1::2] = x.imag.reshape(-1)
+    else:
+        interleaved = np.ascontiguousarray(x, np.float32).reshape(-1)
+    if fmt in ("complexf", "complexf_normalised", "f32", ""):
+        return interleaved.tobytes()
+    if fmt == "s16":
+        return np.clip(interleaved, -32768.0, 32767.0).astype(
+            np.int16).tobytes()
+    if fmt == "u8":
+        return np.clip(interleaved + 128.0, 0.0, 255.0).astype(
+            np.uint8).tobytes()
+    if fmt == "s8":
+        return np.clip(interleaved, -128.0, 127.0).astype(np.int8).tobytes()
+    raise ValueError(f"invalid output format {fmt}")
+
+
+class FileOutput:
+    def __init__(self, path: str, fmt: str = "complexf"):
+        self.fmt = fmt
+        self.f = open(path, "wb")
+
+    def write(self, iq) -> None:
+        self.f.write(serialize_iq(iq, self.fmt))
+
+    def close(self):
+        self.f.close()
+
+
+class ZmqOutput:
+    """ZMQ PUB or REP sink of raw I/Q (ref: src/OutputZeroMQ.cpp:35-80)."""
+
+    def __init__(self, endpoint: str, socket_type: str = "pub",
+                 fmt: str = "complexf"):
+        import zmq
+        self.fmt = fmt
+        self.ctx = zmq.Context.instance()
+        kind = {"pub": zmq.PUB, "rep": zmq.REP}[socket_type]
+        self.socket_type = socket_type
+        self.sock = self.ctx.socket(kind)
+        self.sock.bind(endpoint)
+
+    def write(self, iq) -> None:
+        import zmq
+        data = serialize_iq(iq, self.fmt)
+        if self.socket_type == "rep":
+            # wait for a request before each send, like the reference
+            self.sock.recv()
+        self.sock.send(data, copy=False)
+
+    def close(self):
+        self.sock.close()
+
+
+def open_output(settings):
+    if settings.output == "file":
+        return FileOutput(settings.output_name, settings.file_output_format)
+    if settings.output == "zmq":
+        return ZmqOutput(settings.output_name,
+                         settings.zmq_output_socket_type)
+    raise ValueError(f"unsupported output {settings.output!r}")

@@ -70,14 +70,15 @@ class Modulator:
         self._ref_q = jnp.asarray(tables.phase_ref_eighths(mode))
         bm_src, bm_valid = tables.bin_map(mode)
         self._bin_src = jnp.asarray(bm_src)
-        self._bin_valid = jnp.asarray(bm_valid.astype(np.complex64))
+        self._bin_valid = jnp.asarray(bm_valid.astype(np.float32))
         self._gi = tuple(jnp.asarray(a) for a in tables.guard_interval_tables(
             mode, s.ofdm_window_overlap))
 
         # --- TII ---
         if s.tii_enable:
-            self._tii_vec = jnp.asarray(tables.tii_symbol(
-                mode, s.tii_comb, s.tii_pattern, s.tii_old_variant))
+            from ..ops import cplx
+            self._tii_vec = jnp.asarray(cplx.from_complex(tables.tii_symbol(
+                mode, s.tii_comb, s.tii_pattern, s.tii_old_variant)))
         else:
             self._tii_vec = None
 
@@ -127,9 +128,9 @@ class Modulator:
         }
         if self._res_plan:
             state["res_in_tail"] = jnp.zeros(
-                self._res_plan.fft_in // 2, jnp.complex64)
+                (self._res_plan.fft_in // 2, 2), jnp.float32)
             state["res_out_tail"] = jnp.zeros(
-                self._res_plan.fft_out // 2, jnp.complex64)
+                (self._res_plan.fft_out // 2, 2), jnp.float32)
         return state
 
     # ------------------------------------------------------------------
@@ -183,11 +184,11 @@ class Modulator:
         if self._tii_vec is not None:
             # TII in the NULL symbol of every other TF
             # (ref: src/TII.cpp:241-243)
-            insert = (tf_idx % 2 == 0).astype(jnp.complex64)[:, None]
-            null_row = self._tii_vec[None, :] * insert
+            insert = (tf_idx % 2 == 0).astype(jnp.float32)[:, None, None]
+            null_row = self._tii_vec[None, :, :] * insert
         else:
-            null_row = jnp.zeros((B, p.nb_carriers), jnp.complex64)
-        symbols = jnp.concatenate([null_row[:, None, :], data_syms], axis=1)
+            null_row = jnp.zeros((B, p.nb_carriers, 2), jnp.float32)
+        symbols = jnp.concatenate([null_row[:, None], data_syms], axis=1)
 
         bins = ofdm.to_bins(symbols, self._bin_src, self._bin_valid)
         td = ofdm.ofdm_ifft(bins)                          # [B, S, spacing]
@@ -199,7 +200,7 @@ class Modulator:
             stats["cfr_clip"] = n_clip
             stats["cfr_errclip"] = n_err
             stats["papr_after_cfr"] = filters.papr_db(
-                td[:, 1:].reshape(B, -1))
+                td[:, 1:].reshape(B, -1, 2))
 
         gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
         td = ofdm.apply_gain(td, gains, constant_gain)
@@ -213,13 +214,13 @@ class Modulator:
                      "tf_index": state["tf_index"] + B}
 
         if self._res_plan:
-            flat = iq.reshape(-1)
+            flat = iq.reshape(-1, 2)
             y, in_tail, out_tail = filters.resample(
                 flat, self._res_plan, state["res_in_tail"],
                 state["res_out_tail"])
             new_state["res_in_tail"] = in_tail
             new_state["res_out_tail"] = out_tail
-            iq = y.reshape(B, -1)
+            iq = y.reshape(B, -1, 2)
 
         if self._poly_am is not None:
             iq = filters.memless_poly(iq, self._poly_am, self._poly_pm)

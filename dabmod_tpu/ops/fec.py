@@ -18,19 +18,24 @@ import numpy as np
 from .. import tables
 
 
+# byte -> 8 bits lookup (the axon TPU backend lacks sub-32-bit shifts, so
+# unpacking is a single uint8 gather instead of shift/mask ops)
+_UNPACK_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1)      # [256, 8]
+_PACK_WEIGHTS = (1 << np.arange(7, -1, -1)).astype(np.int32)
+
+
 def unpack_bits(data: jnp.ndarray) -> jnp.ndarray:
     """[..., n_bytes] uint8 -> [..., n_bytes*8] bits (MSB first)."""
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = (data[..., None] >> shifts) & 1
+    bits = jnp.asarray(_UNPACK_LUT)[data.astype(jnp.int32)]
     return bits.reshape(*data.shape[:-1], data.shape[-1] * 8)
 
 
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
-    """[..., n_bits] bits -> [..., n_bits/8] uint8 bytes (MSB first)."""
+    """[..., n_bits] bits -> [..., n_bits/8] int32 byte values (MSB first)."""
     n = bits.shape[-1] // 8
-    b = bits.reshape(*bits.shape[:-1], n, 8).astype(jnp.uint8)
-    weights = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
-    return (b * weights).sum(axis=-1).astype(jnp.uint8)
+    b = bits.reshape(*bits.shape[:-1], n, 8).astype(jnp.int32)
+    return (b * jnp.asarray(_PACK_WEIGHTS)).sum(axis=-1)
 
 
 def scramble(bits: jnp.ndarray, prbs: jnp.ndarray) -> jnp.ndarray:

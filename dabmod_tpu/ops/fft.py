@@ -1,0 +1,86 @@
+"""FFT as factorized real matmuls on the MXU (pair representation).
+
+The reference uses FFTW (src/OfdmGenerator.cpp:109-117) / KISS for its
+transforms; on TPU the idiomatic formulation is the four-step Cooley-Tukey
+algorithm with the two stage-DFTs expressed as matrix multiplies, which maps
+straight onto the 128x128 systolic array:
+
+    N = A*B,  x viewed as [A, B] with n = a*B + b
+    Y1[k1,b] = sum_a x[a,b] * W_A[a,k1]          (matmul over a)
+    Y2[k1,b] = Y1[k1,b] * tw[k1,b]               (elementwise twiddle)
+    Y3[k1,k2] = sum_b Y2[k1,b] * W_B[b,k2]       (matmul over b)
+    X[k2*A + k1] = Y3[k1,k2]
+
+Complex values are (re, im) float32 pairs; each complex matmul is four real
+matmuls run at HIGHEST precision (full f32 on the MXU).  Transforms are
+unnormalised, matching FFTW_FORWARD / FFTW_BACKWARD semantics.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _best_factors(n: int) -> tuple[int, int]:
+    """Split n (power of two here, but works generally) as A*B with A <= B
+    both as close to sqrt(n) as possible."""
+    a = 1
+    for c in range(1, int(np.sqrt(n)) + 1):
+        if n % c == 0:
+            a = c
+    return a, n // a
+
+
+@lru_cache(maxsize=None)
+def _plan(n: int, inverse: bool):
+    # NOTE: cached values must be NumPy, never jnp arrays -- this function is
+    # reached inside jit traces, where jnp.asarray would cache a tracer.
+    a, b = _best_factors(n)
+    sign = 2j if inverse else -2j
+    wa = np.exp(sign * np.pi * np.outer(np.arange(a), np.arange(a)) / a)
+    wb = np.exp(sign * np.pi * np.outer(np.arange(b), np.arange(b)) / b)
+    tw = np.exp(sign * np.pi * np.outer(np.arange(a), np.arange(b)) / n)
+    f32 = np.float32
+    return (a, b,
+            wa.real.astype(f32), wa.imag.astype(f32),
+            wb.real.astype(f32), wb.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32))
+
+
+def _fft_pairs(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Unnormalised DFT of pair array [..., N, 2] along axis -2."""
+    n = x.shape[-2]
+    a, b, war, wai, wbr, wbi, twr, twi = _plan(n, inverse)
+    lead = x.shape[:-2]
+    xr = x[..., 0].reshape(*lead, a, b)
+    xi = x[..., 1].reshape(*lead, a, b)
+
+    mm = partial(jnp.einsum, precision=_PRECISION)
+    # stage 1: DFT over a -> [.., k1, b]
+    y1r = mm("...ab,ak->...kb", xr, war) - mm("...ab,ak->...kb", xi, wai)
+    y1i = mm("...ab,ak->...kb", xr, wai) + mm("...ab,ak->...kb", xi, war)
+    # twiddle
+    y2r = y1r * twr - y1i * twi
+    y2i = y1r * twi + y1i * twr
+    # stage 2: DFT over b -> [.., k1, k2]
+    y3r = mm("...kb,bc->...kc", y2r, wbr) - mm("...kb,bc->...kc", y2i, wbi)
+    y3i = mm("...kb,bc->...kc", y2r, wbi) + mm("...kb,bc->...kc", y2i, wbr)
+    # X[k2*A + k1] = Y3[k1, k2] -> transpose and flatten
+    y3r = jnp.swapaxes(y3r, -1, -2).reshape(*lead, n)
+    y3i = jnp.swapaxes(y3i, -1, -2).reshape(*lead, n)
+    return jnp.stack([y3r, y3i], axis=-1)
+
+
+def fft_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalised forward DFT (FFTW_FORWARD) on [..., N, 2]."""
+    return _fft_pairs(x, inverse=False)
+
+
+def ifft_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalised backward DFT (FFTW_BACKWARD) on [..., N, 2]."""
+    return _fft_pairs(x, inverse=True)

@@ -1,7 +1,8 @@
 """Post-OFDM filter stages: spectrum-mask FIR, fractional resampler,
 memoryless-polynomial DPD, CIC equalizer, format conversion, PAPR stats.
 
-All stages take a leading batch axis of transmission frames.  The FIR keeps
+All stages operate on pair-domain samples ([..., N, 2] float32, see
+ops.cplx) with a leading batch axis of transmission frames.  The FIR keeps
 the reference's deliberate truncation at the TF boundary
 (src/FIRFilter.cpp:218-226), which makes TF batches embarrassingly parallel.
 The resampler is reformulated from a sequential overlap-add loop
@@ -16,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx
+from .fft import fft_pairs, ifft_pairs
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # FIR (ref: src/FIRFilter.cpp:144-228)
@@ -24,39 +30,38 @@ import numpy as np
 
 
 def fir_filter(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """x: [..., N] complex; taps: [ntaps] float32 -> [..., N] complex."""
+    """x: [..., N, 2]; taps: [ntaps] float32 -> [..., N, 2]."""
     ntaps = taps.shape[0]
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, ntaps)])
-    acc = xp[..., :x.shape[-1]] * taps[0]
+    n = x.shape[-2]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, ntaps), (0, 0)])
+    acc = xp[..., :n, :] * taps[0]
     for j in range(1, ntaps):
-        acc = acc + xp[..., j:j + x.shape[-1]] * taps[j]
+        acc = acc + xp[..., j:j + n, :] * taps[j]
     return acc
 
 
 def fir_filter_matmul(x: jnp.ndarray, taps: jnp.ndarray,
                       block: int = 512) -> jnp.ndarray:
     """MXU formulation of the FIR: blocks of the signal times a banded
-    [block+ntaps-1, block] tap matrix.  Used on TPU where a 45-tap direct
-    sum of shifted adds is bandwidth-bound."""
+    [block+ntaps-1, block] tap matrix."""
     ntaps = taps.shape[0]
-    n = x.shape[-1]
+    n = x.shape[-2]
     nblocks = -(-n // block)
     pad_to = nblocks * block
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad_to - n + ntaps - 1)])
-    # windows[..., b, :] = xp[b*block : b*block + block + ntaps - 1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2)
+                 + [(0, pad_to - n + ntaps - 1), (0, 0)])
     idx = (np.arange(nblocks)[:, None] * block
            + np.arange(block + ntaps - 1)[None, :])
-    windows = xp[..., idx]                             # [..., nb, block+ntaps-1]
-    # band matrix M[k, o] = taps[k - o] for 0 <= k-o < ntaps
+    windows = xp[..., idx, :]                    # [..., nb, blk+ntaps-1, 2]
     k = np.arange(block + ntaps - 1)[:, None]
     o = np.arange(block)[None, :]
     band = np.where((k - o >= 0) & (k - o < ntaps), 1.0, 0.0)
     tap_mat = jnp.asarray(band, jnp.float32) * taps[
         jnp.clip(jnp.asarray(k - o), 0, ntaps - 1)]
-    re = jnp.einsum("...bk,ko->...bo", windows.real, tap_mat)
-    im = jnp.einsum("...bk,ko->...bo", windows.imag, tap_mat)
-    out = (re + 1j * im).reshape(*x.shape[:-1], pad_to)
-    return out[..., :n].astype(x.dtype)
+    out = jnp.einsum("...bkc,ko->...boc", windows, tap_mat,
+                     precision=_PRECISION)
+    out = out.reshape(*x.shape[:-2], pad_to, 2)
+    return out[..., :n, :]
 
 
 # ---------------------------------------------------------------------------
@@ -95,44 +100,40 @@ class ResamplerPlan:
 
 def resample(x: jnp.ndarray, plan: ResamplerPlan,
              in_tail: jnp.ndarray, out_tail: jnp.ndarray):
-    """Frequency-domain L/M resampling of a flat sample stream.
+    """Frequency-domain L/M resampling of a flat pair stream.
 
-    x: [N] complex (N multiple of fft_in/2); in_tail: [fft_in/2] carry of the
-    previous call's last half-block; out_tail: [fft_out/2] overlap-add carry.
-    Returns (y [N*L/M], new_in_tail, new_out_tail).
+    x: [N, 2] (N multiple of fft_in/2); in_tail: [fft_in/2, 2] carry of the
+    previous call's last half-block; out_tail: [fft_out/2, 2] overlap-add
+    carry.  Returns (y [N*L/M, 2], new_in_tail, new_out_tail).
     """
     hi, ho = plan.fft_in // 2, plan.fft_out // 2
-    n_blocks = x.shape[-1] // hi
-    xp = jnp.concatenate([in_tail, x])
-    # 50%-overlapped analysis frames
+    n_blocks = x.shape[0] // hi
+    xp = jnp.concatenate([in_tail, x], axis=0)
     idx = (np.arange(n_blocks)[:, None] * hi
            + np.arange(plan.fft_in)[None, :])
-    frames = xp[idx] * jnp.asarray(plan.window)
-    spec = jnp.fft.fft(frames, axis=-1)
+    frames = xp[idx] * jnp.asarray(plan.window)[None, :, None]
+    spec = fft_pairs(frames)
     if plan.fft_out > plan.fft_in:
         upper = spec[:, hi:]
-        mid = jnp.zeros((n_blocks, plan.fft_out - plan.fft_in),
+        mid = jnp.zeros((n_blocks, plan.fft_out - plan.fft_in - 1, 2),
                         dtype=spec.dtype)
         # the bin at fft_in/2 is duplicated into both halves
-        out_spec = jnp.concatenate(
-            [spec[:, :hi + 1], mid[:, :-1], upper], axis=1)
+        out_spec = jnp.concatenate([spec[:, :hi + 1], mid, upper], axis=1)
     elif plan.fft_out < plan.fft_in:
         lower = spec[:, :ho]
         upper = spec[:, plan.fft_in - ho:]
-        centre = 0.5 * (spec[:, ho:ho + 1] + spec[:, plan.fft_in - ho:
-                                                  plan.fft_in - ho + 1])
-        # centre bin averages input bins +/- fft_out/2
-        out_spec = jnp.concatenate(
-            [lower, centre, upper[:, 1:]], axis=1)
+        centre = 0.5 * (spec[:, ho:ho + 1]
+                        + spec[:, plan.fft_in - ho:plan.fft_in - ho + 1])
+        out_spec = jnp.concatenate([lower, centre, upper[:, 1:]], axis=1)
     else:
         out_spec = spec
     out_spec = out_spec * plan.factor
-    blocks = jnp.fft.ifft(out_spec, axis=-1) * plan.fft_out
+    blocks = ifft_pairs(out_spec)
     first = blocks[:, :ho]
     second = blocks[:, ho:]
     # overlap-add: block b's second half adds onto block b+1's first half
     prev = jnp.concatenate([out_tail[None], second[:-1]], axis=0)
-    y = (first + prev).reshape(-1)
+    y = (first + prev).reshape(-1, 2)
     return y, xp[-hi:], second[-1]
 
 
@@ -144,8 +145,8 @@ def resample(x: jnp.ndarray, plan: ResamplerPlan,
 def memless_poly(x: jnp.ndarray, coefs_am: jnp.ndarray,
                  coefs_pm: jnp.ndarray) -> jnp.ndarray:
     """Odd-order AM/AM + AM/PM predistortion with the reference's sin/cos
-    series approximations (kept for output parity)."""
-    m = x.real * x.real + x.imag * x.imag
+    series approximations (kept for output parity).  x: [..., 2]."""
+    m = cplx.abs2(x)
     am = coefs_am[0] + m * (coefs_am[1] + m * (coefs_am[2] + m * (
         coefs_am[3] + m * coefs_am[4])))
     pm = -(coefs_pm[0] + m * (coefs_pm[1] + m * (coefs_pm[2] + m * (
@@ -154,18 +155,20 @@ def memless_poly(x: jnp.ndarray, coefs_am: jnp.ndarray,
     # reference's cos/sin polynomial approximations (coefficients as-is)
     re = 1.0 - p2 * (-0.5 + p2 * (0.486666 + p2 * (-0.00138888)))
     im = pm * (1.0 + p2 * (0.166666 + p2 * 0.00833333))
-    rot = re + 1j * im
-    return x * am.astype(jnp.complex64) * rot.astype(jnp.complex64)
+    rot = jnp.stack([re, im], axis=-1)
+    return cplx.cmul(x * am[..., None], rot)
 
 
 def memless_lut(x: jnp.ndarray, lut: jnp.ndarray,
                 scalefactor: float) -> jnp.ndarray:
     """32-entry magnitude-binned LUT predistorter
-    (ref: src/MemlessPoly.cpp:278-309)."""
-    mag = jnp.abs(x)
-    scaled = jnp.clip(jnp.round(mag * scalefactor), 0, 2**32 - 1)
-    ix = (scaled.astype(jnp.uint32) >> 27).astype(jnp.int32)
-    return x * lut[ix]
+    (ref: src/MemlessPoly.cpp:278-309).  lut: [32, 2] pairs."""
+    mag = jnp.sqrt(cplx.abs2(x))
+    scaled = jnp.clip(jnp.round(mag * scalefactor), 0, 2.0**32 - 1)
+    # top-5-bits bin index == scaled / 2^27, computed in float to avoid
+    # unsupported 8/16-bit shifts on the device
+    ix = jnp.clip((scaled / float(1 << 27)).astype(jnp.int32), 0, 31)
+    return cplx.cmul(x, lut[ix])
 
 
 # ---------------------------------------------------------------------------
@@ -175,9 +178,7 @@ def memless_lut(x: jnp.ndarray, lut: jnp.ndarray,
 
 def cic_equalizer_taps(carriers: int, fft_size_over: float,
                        ratio: int) -> np.ndarray:
-    """Per-carrier droop compensation H = (R*M*sin(t/R)/sin(t*M))^4... the
-    reference computes (sin(x/R)/ (R * sin(x)))^-4-style correction; we
-    replicate its loop exactly."""
+    """Per-carrier droop compensation, replicating the reference loop."""
     out = np.zeros(carriers, dtype=np.float32)
     R = float(ratio)
     M = 1.0
@@ -199,28 +200,24 @@ def cic_equalizer_taps(carriers: int, fft_size_over: float,
 
 
 def format_convert(x: jnp.ndarray, fmt: str):
-    """Interleave complex -> I/Q stream and convert with saturation.
-
-    Returns (converted, n_clipped).  `x` is [..., N] complex with samples
-    already normalised into the output range.
-    """
-    iq = jnp.stack([x.real, x.imag], axis=-1).reshape(*x.shape[:-1], -1)
+    """Flatten pair samples to the interleaved I/Q stream and convert with
+    saturation.  Returns (converted, n_clipped)."""
+    iq = x.reshape(*x.shape[:-2], -1)
     if fmt in ("complexf", "f32", ""):
         return iq, jnp.zeros((), jnp.int32)
     if fmt == "s16":
         clipped = jnp.clip(iq, -32768.0, 32767.0)
         n = (iq != clipped).sum()
-        # C float->int16 conversion truncates toward zero
-        return clipped.astype(jnp.int16), n
+        return clipped.astype(jnp.int32), n   # int16 unsupported on device
     if fmt == "u8":
         samp = iq + 128.0
         clipped = jnp.clip(samp, 0.0, 255.0)
         n = (samp != clipped).sum()
-        return clipped.astype(jnp.uint8), n
+        return clipped.astype(jnp.int32), n
     if fmt == "s8":
         clipped = jnp.clip(iq, -128.0, 127.0)
         n = (iq != clipped).sum()
-        return clipped.astype(jnp.int8), n
+        return clipped.astype(jnp.int32), n
     raise ValueError(f"invalid output format {fmt}")
 
 
@@ -230,8 +227,9 @@ def format_convert(x: jnp.ndarray, fmt: str):
 
 
 def papr_db(x: jnp.ndarray, axis=-1) -> jnp.ndarray:
-    """Peak-to-average power ratio in dB over the given axis."""
-    p = x.real * x.real + x.imag * x.imag
+    """Peak-to-average power ratio in dB; x is pair-domain, reduced over
+    the sample axis (axis counts in the pair-reduced view)."""
+    p = cplx.abs2(x)
     peak = jnp.max(p, axis=axis)
     mean = jnp.mean(p, axis=axis)
     return 10.0 * jnp.log10(peak / mean)

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import pytest
 
 from dabmod_tpu import tables
-from dabmod_tpu.ops import fec, ofdm
+from dabmod_tpu.ops import cplx, fec, ofdm
 from golden import load
 
 
@@ -28,7 +28,7 @@ def test_qpsk_mapping():
     expect = load("qpsk_out")
     bits = jnp.asarray(np.unpackbits(data))[None]
     q = ofdm.qpsk_phase_indices(bits, 1536)
-    got = np.asarray(ofdm.phases_to_carriers(q)).reshape(-1)
+    got = cplx.to_complex(ofdm.phases_to_carriers(q)).reshape(-1)
     np.testing.assert_array_equal(got, expect)
 
 
@@ -66,7 +66,7 @@ def test_diff_modulator():
     chain[0] = ref_c
     for s in range(75):
         chain[s + 1] = (chain[s] * vals[s]).astype(np.complex64)
-    got = np.asarray(ofdm.phases_to_carriers(ofdm.diff_modulate(
+    got = cplx.to_complex(ofdm.phases_to_carriers(ofdm.diff_modulate(
         jnp.asarray(q_in)[None], jnp.asarray(tables.phase_ref_eighths(1))))[0])
     # phase-domain result must match the float32 product chain to float eps
     np.testing.assert_allclose(got, chain, atol=2e-6)
@@ -86,7 +86,8 @@ def test_guard_interval(ov):
     cin = load(f"guard_ov{ov}_in").reshape(77, 2048)
     expect = load(f"guard_ov{ov}_out")
     gi = tuple(jnp.asarray(a) for a in tables.guard_interval_tables(1, ov))
-    got = np.asarray(ofdm.guard_interval(jnp.asarray(cin)[None], gi))[0]
+    got = cplx.to_complex(ofdm.guard_interval(
+        jnp.asarray(cplx.from_complex(cin))[None], gi))[0]
     assert got.size == expect.size
     if ov == 0:
         np.testing.assert_array_equal(got, expect)
@@ -116,7 +117,7 @@ def test_ofdm_ifft_definition():
     rng = np.random.default_rng(7)
     x = (rng.standard_normal((3, 128)) + 1j * rng.standard_normal((3, 128))
          ).astype(np.complex64)
-    got = np.asarray(ofdm.ofdm_ifft(jnp.asarray(x)))
+    got = cplx.to_complex(ofdm.ofdm_ifft(jnp.asarray(cplx.from_complex(x))))
     n = 128
     k = np.arange(n)
     w = np.exp(2j * np.pi * np.outer(k, k) / n)   # FFTW backward kernel

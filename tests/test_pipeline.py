@@ -9,7 +9,7 @@ from dabmod_tpu import tables
 from dabmod_tpu.config import ModSettings
 from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
 from dabmod_tpu.models import Modulator, make_default_layout
-from dabmod_tpu.ops import ofdm
+from dabmod_tpu.ops import cplx, ofdm
 from golden import load
 
 
@@ -27,7 +27,7 @@ def test_frontend_matches_reference_chain():
     hist = tuple(jnp.zeros((15, int(d.shape[0])), jnp.uint8)
                  for d in m._subch_delays)
     syms, _ = m.frontend(fic, (sub0, sub1), hist)
-    got = np.asarray(syms)
+    got = cplx.to_complex(syms)
     assert got.shape == (2, 76, 1536)
     # the reference accumulates float32 rounding through its product chain;
     # our phase-domain result is exact, so compare with float32 eps
@@ -44,11 +44,11 @@ def test_full_pipeline_shapes_and_stats():
     batch = parse_eti_frames(raw)
     state = m.init_state()
     iq, state, stats = m.modulate_eti(batch, state)
-    assert iq.shape == (2, tables.mode_params(1).tf_samples)
-    assert iq.dtype == jnp.complex64
+    assert iq.shape == (2, tables.mode_params(1).tf_samples, 2)
+    assert iq.dtype == jnp.float32
     assert int(state["tf_index"]) == 2
     # power must be normalised to the var-mode target (default settings)
-    rms = float(jnp.sqrt(jnp.mean(jnp.abs(iq[:, 2656:]) ** 2)))
+    rms = float(jnp.sqrt(jnp.mean(jnp.sum(iq[:, 2656:] ** 2, axis=-1))))
     assert 5000 < rms < 20000   # sigma * 4 scaled to 32767
 
 
@@ -61,8 +61,8 @@ def test_all_modes_run(mode):
     raw = synth_eti_batch(2 * p.cif_count, mode=mode)
     batch = parse_eti_frames(raw)
     iq, state, _ = m.modulate_eti(batch, m.init_state())
-    assert iq.shape == (2, p.tf_samples)
-    assert bool(jnp.all(jnp.isfinite(iq.real)))
+    assert iq.shape == (2, p.tf_samples, 2)
+    assert bool(jnp.all(jnp.isfinite(iq)))
 
 
 def test_streaming_continuity():
@@ -90,6 +90,7 @@ def test_gain_modes():
     rng = np.random.default_rng(3)
     x = (rng.standard_normal((1, 3, 256)) + 1j * rng.standard_normal((1, 3, 256))
          ).astype(np.complex64)
+    x_pairs = jnp.asarray(cplx.from_complex(x))
     # independent NumPy implementation of the reference's scalar formulas
     # (src/GainControl.cpp:344-502)
     def ref_gain(sym, mode, k=4.0):
@@ -106,7 +107,7 @@ def test_gain_modes():
         return 1.0 if int(sig) == 0 else 32767.0 / sig
 
     for mode in (ofdm.GAIN_FIX, ofdm.GAIN_MAX, ofdm.GAIN_VAR):
-        gains = np.asarray(ofdm.compute_gain(jnp.asarray(x), mode, 4.0))[0]
+        gains = np.asarray(ofdm.compute_gain(x_pairs, mode, 4.0))[0]
         expect = [ref_gain(x[0, s], mode) for s in range(3)]
         # NULL symbol (index 0) borrows symbol 1's gain
         np.testing.assert_allclose(gains, [expect[1], expect[1], expect[2]],
@@ -126,6 +127,6 @@ def test_cfr_reduces_papr():
     m2 = Modulator(layout, ModSettings(dab_mode=1))
     iq2, _, _ = m2.modulate_eti(parse_eti_frames(raw), m2.init_state())
     from dabmod_tpu.ops.filters import papr_db
-    p_with = float(papr_db(jnp.asarray(iq[:, 2656:]).reshape(-1)))
-    p_without = float(papr_db(jnp.asarray(iq2[:, 2656:]).reshape(-1)))
+    p_with = float(papr_db(jnp.asarray(iq[:, 2656:]).reshape(-1, 2), axis=0))
+    p_without = float(papr_db(jnp.asarray(iq2[:, 2656:]).reshape(-1, 2), axis=0))
     assert p_with < p_without
