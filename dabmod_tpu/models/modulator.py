@@ -37,33 +37,34 @@ class Modulator:
         self.mode = mode
         self.p = p = tables.mode_params(mode)
 
-        # --- FEC tables ---
-        self._fic_prbs = jnp.asarray(tables.prbs_bits(p.fic_size_in))
-        fic_conv, _ = tables.conv_gather_tables(p.fic_size_in * 8)
-        self._fic_conv = jnp.asarray(fic_conv)
+        # --- FEC tables (bit domain is int32, see ops.fec.BIT_DTYPE) ---
+        self._fic_prbs = jnp.asarray(
+            tables.prbs_bits(p.fic_size_in).astype(np.int32))
+        self._fic_nbits = p.fic_size_in * 8
         fic_idx, fic_out_bytes = tables.puncture_gather(
             tables.fic_rules(layout.mid), p.fic_size_in * 4 + 3)
         assert fic_out_bytes == p.fic_size_out, (fic_out_bytes, p.fic_size_out)
         self._fic_punct = jnp.asarray(fic_idx)
 
         self._subch_prbs = []
-        self._subch_conv = []
+        self._subch_nbits = []
         self._subch_punct = []
-        self._subch_delays = []
+        self._subch_masks = []
         self._subch_offsets = []
         for sub in layout.subchannels:
             n = sub.framesize
-            self._subch_prbs.append(jnp.asarray(tables.prbs_bits(n)))
-            conv_idx, _ = tables.conv_gather_tables(n * 8)
-            self._subch_conv.append(jnp.asarray(conv_idx))
+            self._subch_prbs.append(jnp.asarray(
+                tables.prbs_bits(n).astype(np.int32)))
+            self._subch_nbits.append(n * 8)
             pidx, pbytes = tables.puncture_gather(
                 sub.rules(), n * 4 + 3, out_bytes_expected=sub.framesize_cu * 8)
             self._subch_punct.append(jnp.asarray(pidx))
-            self._subch_delays.append(jnp.asarray(
-                tables.time_interleave_delays(pbytes * 8)))
+            self._subch_masks.append(jnp.asarray(
+                tables.time_interleave_masks(pbytes * 8)))
             self._subch_offsets.append(sub.start_address * 64)
 
-        self._cif_filler = jnp.asarray(tables.prbs_bits(tables.CIF_BYTES))
+        self._cif_filler = jnp.asarray(
+            tables.prbs_bits(tables.CIF_BYTES).astype(np.int32))
 
         # --- OFDM tables ---
         self._inv_perm = jnp.asarray(tables.freq_interleave_inverse(mode))
@@ -122,8 +123,8 @@ class Modulator:
         """Initial sequential state (a pytree carried between batches)."""
         state = {
             "ti_history": tuple(
-                jnp.zeros((15, int(d.shape[0])), jnp.uint8)
-                for d in self._subch_delays),
+                jnp.zeros((15, int(m.shape[1])), jnp.int32)
+                for m in self._subch_masks),
             "tf_index": jnp.zeros((), jnp.int32),
         }
         if self._res_plan:
@@ -141,17 +142,17 @@ class Modulator:
         C = p.cif_count
 
         fic_bits = fec.unpack_bits(fic_bytes)
-        fic_out = fec.fec_path(fic_bits, self._fic_prbs, self._fic_conv,
+        fic_out = fec.fec_path(fic_bits, self._fic_prbs, self._fic_nbits,
                                self._fic_punct)
 
         cif_parts = []
         new_hist = []
         for i in range(len(self.layout.subchannels)):
             bits = fec.unpack_bits(subch_bytes[i])
-            pb = fec.fec_path(bits, self._subch_prbs[i], self._subch_conv[i],
+            pb = fec.fec_path(bits, self._subch_prbs[i], self._subch_nbits[i],
                               self._subch_punct[i])
             ti, h = fec.time_interleave(pb, ti_history[i],
-                                        self._subch_delays[i])
+                                        self._subch_masks[i])
             cif_parts.append(ti)
             new_hist.append(h)
 
@@ -190,7 +191,7 @@ class Modulator:
             null_row = jnp.zeros((B, p.nb_carriers, 2), jnp.float32)
         symbols = jnp.concatenate([null_row[:, None], data_syms], axis=1)
 
-        bins = ofdm.to_bins(symbols, self._bin_src, self._bin_valid)
+        bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
         td = ofdm.ofdm_ifft(bins)                          # [B, S, spacing]
 
         stats = {}
@@ -205,7 +206,10 @@ class Modulator:
         gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
         td = ofdm.apply_gain(td, gains, constant_gain)
 
-        iq = ofdm.guard_interval(td, self._gi)             # [B, tf_samples]
+        if self.settings.ofdm_window_overlap == 0:
+            iq = ofdm.guard_interval_unwindowed(td, p.null_size, p.sym_size)
+        else:
+            iq = ofdm.guard_interval(td, self._gi)         # [B, tf_samples, 2]
 
         if self._fir_taps is not None:
             iq = filters.fir_filter_matmul(iq, self._fir_taps)

@@ -18,16 +18,18 @@ import numpy as np
 from .. import tables
 
 
-# byte -> 8 bits lookup (the axon TPU backend lacks sub-32-bit shifts, so
-# unpacking is a single uint8 gather instead of shift/mask ops)
-_UNPACK_LUT = np.unpackbits(
-    np.arange(256, dtype=np.uint8)[:, None], axis=1)      # [256, 8]
-_PACK_WEIGHTS = (1 << np.arange(7, -1, -1)).astype(np.int32)
+# Bits are int32 {0,1}: the TPU VPU has native 32-bit lanes, and the axon
+# backend lacks sub-32-bit shifts, so unpacking uses mask-compare instead of
+# shift ops and sub-32-bit arrays are avoided on the hot path.
+BIT_DTYPE = jnp.int32
+
+_BIT_MASKS = (1 << np.arange(7, -1, -1)).astype(np.int32)  # MSB first
 
 
 def unpack_bits(data: jnp.ndarray) -> jnp.ndarray:
-    """[..., n_bytes] uint8 -> [..., n_bytes*8] bits (MSB first)."""
-    bits = jnp.asarray(_UNPACK_LUT)[data.astype(jnp.int32)]
+    """[..., n_bytes] uint8 -> [..., n_bytes*8] int32 bits (MSB first)."""
+    b = data.astype(jnp.int32)
+    bits = ((b[..., None] & jnp.asarray(_BIT_MASKS)) != 0).astype(BIT_DTYPE)
     return bits.reshape(*data.shape[:-1], data.shape[-1] * 8)
 
 
@@ -35,7 +37,7 @@ def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """[..., n_bits] bits -> [..., n_bits/8] int32 byte values (MSB first)."""
     n = bits.shape[-1] // 8
     b = bits.reshape(*bits.shape[:-1], n, 8).astype(jnp.int32)
-    return (b * jnp.asarray(_PACK_WEIGHTS)).sum(axis=-1)
+    return (b * jnp.asarray(_BIT_MASKS)).sum(axis=-1)
 
 
 def scramble(bits: jnp.ndarray, prbs: jnp.ndarray) -> jnp.ndarray:
@@ -43,18 +45,26 @@ def scramble(bits: jnp.ndarray, prbs: jnp.ndarray) -> jnp.ndarray:
     return bits ^ prbs
 
 
-def conv_encode(bits: jnp.ndarray, src_idx: jnp.ndarray) -> jnp.ndarray:
-    """K=7 rate-1/4 convolutional encoder as a gather-XOR.
+def conv_encode(bits: jnp.ndarray, n_bits: int) -> jnp.ndarray:
+    """K=7 rate-1/4 convolutional encoder, generators 133/171/145/133 octal
+    (ref: src/ConvEncoder.cpp:59-150).
 
-    bits: [..., N]; src_idx from tables.conv_gather_tables(N) with shape
-    [n_taps, 4*(N+6)]; out: [..., 4*(N+6)].
+    Each generator stream is an XOR of *static slices* of the zero-padded
+    input (delay taps), which XLA compiles to cheap shifted adds -- no
+    gathers.  bits: [..., n_bits]; out: [..., 4*(n_bits+6)] interleaved
+    [y0[i], y1[i], y2[i], y3[i]].
     """
-    padded = jnp.concatenate(
-        [bits, jnp.zeros((*bits.shape[:-1], 1), bits.dtype)], axis=-1)
-    acc = padded[..., src_idx[0]]
-    for t in range(1, src_idx.shape[0]):
-        acc = acc ^ padded[..., src_idx[t]]
-    return acc
+    from ..tables import CONV_TAPS
+    steps = n_bits + 6
+    zeros6 = jnp.zeros((*bits.shape[:-1], 6), bits.dtype)
+    padded = jnp.concatenate([zeros6, bits, zeros6], axis=-1)
+    streams = []
+    for taps in CONV_TAPS:
+        acc = padded[..., 6 - taps[0]: 6 - taps[0] + steps]
+        for d in taps[1:]:
+            acc = acc ^ padded[..., 6 - d: 6 - d + steps]
+        streams.append(acc)
+    return jnp.stack(streams, axis=-1).reshape(*bits.shape[:-1], steps * 4)
 
 
 def puncture(bits: jnp.ndarray, keep_idx: jnp.ndarray) -> jnp.ndarray:
@@ -64,31 +74,33 @@ def puncture(bits: jnp.ndarray, keep_idx: jnp.ndarray) -> jnp.ndarray:
     return padded[..., keep_idx]
 
 
-def fec_path(bits: jnp.ndarray, prbs: jnp.ndarray, conv_idx: jnp.ndarray,
+def fec_path(bits: jnp.ndarray, prbs: jnp.ndarray, n_bits: int,
              punct_idx: jnp.ndarray) -> jnp.ndarray:
     """scramble -> convolutional encode -> puncture, fully fused."""
-    return puncture(conv_encode(scramble(bits, prbs), conv_idx), punct_idx)
+    return puncture(conv_encode(scramble(bits, prbs), n_bits), punct_idx)
 
 
 def time_interleave(bits: jnp.ndarray, history: jnp.ndarray,
-                    delays: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    delay_masks: jnp.ndarray
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """DAB time interleaver over a batch of consecutive CIFs.
 
-    bits:    [T, n] current frames in time order
-    history: [15, n] the 15 previous frames (history[-1] = most recent)
-    delays:  [n] per-bit CIF delay (tables.time_interleave_delays)
+    bits:        [T, n] current frames in time order
+    history:     [15, n] the 15 previous frames (history[-1] = most recent)
+    delay_masks: [16, n] static one-hot masks: delay_masks[d, b] == 1 iff
+                 bit b is delayed by d CIFs (tables.time_interleave_masks)
 
-    Returns (out [T, n], new_history [15, n]).  Because the interleaver is a
-    pure per-bit delay line (ref: src/TimeInterleaver.cpp:66-92), a batch of T
-    frames is a single parallel gather over the time axis -- no sequential
-    scan is needed.
+    Returns (out [T, n], new_history [15, n]).  The interleaver is a pure
+    per-bit delay line (ref: src/TimeInterleaver.cpp:66-92); with the delay
+    selection expressed as 16 masked static shifts the whole batch is
+    branch-free vector code with no gathers.
     """
     T = bits.shape[0]
     full = jnp.concatenate([history, bits], axis=0)           # [15+T, n]
-    t_idx = 15 + jnp.arange(T, dtype=jnp.int32)[:, None] - delays[None, :]
-    out = jnp.take_along_axis(full, t_idx, axis=0)
-    new_history = full[-15:]
-    return out, new_history
+    out = bits * delay_masks[0]
+    for d in range(1, 16):
+        out = out + full[15 - d:15 - d + T] * delay_masks[d]
+    return out, full[-15:]
 
 
 def assemble_cif(subch_bits: list[jnp.ndarray], offsets_bits: list[int],

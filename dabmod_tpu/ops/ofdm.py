@@ -31,13 +31,14 @@ def qpsk_phase_indices(tf_bits: jnp.ndarray, carriers: int) -> jnp.ndarray:
     """[B, n_bits] TF bit stream -> [B, L, carriers] phase indices (pi/4 units).
 
     Per symbol the first `carriers` bits are I, the next `carriers` are Q
-    (ref: src/QpskSymbolMapper.cpp:39-213); q = [1,7,3,5][2*bI+bQ].
+    (ref: src/QpskSymbolMapper.cpp:39-213); q = [1,7,3,5][2*bI+bQ], computed
+    arithmetically (q = 1 + 2i + 6q - 4iq) to avoid a dynamic gather.
     """
     B, nbits = tf_bits.shape
     L = nbits // (2 * carriers)
     biq = tf_bits.reshape(B, L, 2, carriers).astype(jnp.int32)
-    lut = jnp.asarray(tables.QPSK_PHASE.astype(np.int32))
-    return lut[2 * biq[:, :, 0] + biq[:, :, 1]]
+    bi, bq = biq[:, :, 0], biq[:, :, 1]
+    return 1 + 2 * bi + 6 * bq - 4 * bi * bq
 
 
 def freq_interleave(sym_q: jnp.ndarray, inv_perm: jnp.ndarray) -> jnp.ndarray:
@@ -58,8 +59,19 @@ def diff_modulate(sym_q: jnp.ndarray, ref_q: jnp.ndarray) -> jnp.ndarray:
 
 
 def phases_to_carriers(phases: jnp.ndarray) -> jnp.ndarray:
-    """Phase indices -> [..., 2] float32 carrier pairs."""
-    return jnp.asarray(PHASE_TAB)[phases]
+    """Phase indices -> [..., 2] float32 carrier pairs.
+
+    Expressed as one-hot compares + FMAs (VPU vector code) rather than an
+    8-entry dynamic gather, which is slow on TPU."""
+    re = jnp.zeros(phases.shape, jnp.float32)
+    im = jnp.zeros(phases.shape, jnp.float32)
+    for d in range(8):
+        hot = (phases == d)
+        if PHASE_TAB[d, 0]:
+            re = jnp.where(hot, jnp.float32(PHASE_TAB[d, 0]), re)
+        if PHASE_TAB[d, 1]:
+            im = jnp.where(hot, jnp.float32(PHASE_TAB[d, 1]), im)
+    return jnp.stack([re, im], axis=-1)
 
 
 def to_bins(carrier_vals: jnp.ndarray, src_idx: jnp.ndarray,
@@ -67,6 +79,21 @@ def to_bins(carrier_vals: jnp.ndarray, src_idx: jnp.ndarray,
     """Map carrier pair vectors [..., C, 2] onto IFFT bins [..., spacing, 2]
     (ref: src/OfdmGenerator.cpp:77-103, inverse direction)."""
     return carrier_vals[..., src_idx, :] * valid[..., None]
+
+
+def to_bins_slices(carrier_vals: jnp.ndarray, carriers: int,
+                   spacing: int) -> jnp.ndarray:
+    """Gather-free bin mapping: the carrier->bin map is two contiguous block
+    copies plus zero stripes, so express it as pad+concat."""
+    pos_dst = 0 if (carriers & 1) else 1
+    pos_size = (carriers + 1) // 2
+    neg_size = carriers // 2
+    lead = carrier_vals.shape[:-2]
+    z = lambda n: jnp.zeros((*lead, n, 2), carrier_vals.dtype)
+    mid = spacing - neg_size - pos_dst - pos_size
+    return jnp.concatenate(
+        [z(pos_dst), carrier_vals[..., :pos_size, :], z(mid),
+         carrier_vals[..., pos_size:, :]], axis=-2)
 
 
 def ofdm_ifft(bins: jnp.ndarray) -> jnp.ndarray:
@@ -147,6 +174,25 @@ def apply_gain(symbols: jnp.ndarray, gains: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # Guard interval insertion (+ optional raised-cosine windowing)
 # ---------------------------------------------------------------------------
+
+
+def guard_interval_unwindowed(symbols: jnp.ndarray, null_size: int,
+                              sym_size: int) -> jnp.ndarray:
+    """Gather-free cyclic-prefix insertion for window_overlap == 0
+    (ref: src/GuardIntervalInserter.cpp:301-318): each output symbol is
+    [tail of symbol, full symbol], expressed as slices + concat."""
+    spacing = symbols.shape[-2]
+    lead = symbols.shape[:-3]
+    null_pre = null_size - spacing
+    sym_pre = sym_size - spacing
+    null = jnp.concatenate(
+        [symbols[..., 0, spacing - null_pre:, :], symbols[..., 0, :, :]],
+        axis=-2)
+    data = jnp.concatenate(
+        [symbols[..., 1:, spacing - sym_pre:, :], symbols[..., 1:, :, :]],
+        axis=-2)
+    data = data.reshape(*lead, -1, 2)
+    return jnp.concatenate([null, data], axis=-2)
 
 
 def guard_interval(symbols: jnp.ndarray, gi_tables) -> jnp.ndarray:

@@ -316,6 +316,15 @@ def time_interleave_delays(n_bits: int) -> np.ndarray:
     return TI_DELAYS_EVEN[b % 8] + (byte & 1)
 
 
+def time_interleave_masks(n_bits: int) -> np.ndarray:
+    """[16, n_bits] one-hot delay masks (int32) for the gather-free
+    formulation in ops.fec.time_interleave."""
+    delays = time_interleave_delays(n_bits)
+    masks = np.zeros((16, n_bits), np.int32)
+    masks[delays, np.arange(n_bits)] = 1
+    return masks
+
+
 # ---------------------------------------------------------------------------
 # QPSK mapping (ref: src/QpskSymbolMapper.cpp:39-213)
 # First half of each symbol's bits are I (one per carrier), second half Q;

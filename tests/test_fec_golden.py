@@ -28,8 +28,8 @@ def test_prbs_sequence(n):
 def test_prbs_xor():
     data = load("prbs_xor_in")
     expect = load("prbs_xor_out")
-    out = fec.scramble(jnp.asarray(bits(data)),
-                       jnp.asarray(tables.prbs_bits(96)))
+    out = fec.scramble(jnp.asarray(bits(data).astype(np.int32)),
+                       jnp.asarray(tables.prbs_bits(96).astype(np.int32)))
     np.testing.assert_array_equal(to_bytes(np.asarray(out)), expect)
 
 
@@ -48,9 +48,8 @@ def test_conv_encoder_numpy():
 
 def test_conv_encoder_jax():
     u = bits(load("conv_in"))
-    src, n_out = tables.conv_gather_tables(u.size)
-    y = fec.conv_encode(jnp.asarray(u)[None], jnp.asarray(src))[0]
-    expect = bits(load("conv_out"))[:n_out]
+    y = fec.conv_encode(jnp.asarray(u.astype(np.int32))[None], u.size)[0]
+    expect = bits(load("conv_out"))[:4 * (u.size + 6)]
     np.testing.assert_array_equal(np.asarray(y), expect)
 
 
@@ -60,8 +59,7 @@ def test_conv_encoder_jax():
 
 def _run_punct(in_name, out_name, rules, framesize, num_cu=None):
     u = bits(load(in_name))
-    conv_idx, _ = tables.conv_gather_tables(u.size)
-    conv_bits = fec.conv_encode(jnp.asarray(u)[None], jnp.asarray(conv_idx))
+    conv_bits = fec.conv_encode(jnp.asarray(u.astype(np.int32))[None], u.size)
     pidx, out_bytes = tables.puncture_gather(
         rules, framesize * 4 + 3,
         out_bytes_expected=None if num_cu is None else num_cu * 8)
@@ -100,12 +98,12 @@ def test_time_interleaver():
     T = 40
     data = load("time_interleaver_in").reshape(T, fs)
     expect = load("time_interleaver_out").reshape(T, fs)
-    in_bits = np.unpackbits(data, axis=1)
-    delays = tables.time_interleave_delays(fs * 8)
+    in_bits = np.unpackbits(data, axis=1).astype(np.int32)
+    masks = tables.time_interleave_masks(fs * 8)
     out, hist = fec.time_interleave(
-        jnp.asarray(in_bits), jnp.zeros((15, fs * 8), jnp.uint8),
-        jnp.asarray(delays))
-    got = np.packbits(np.asarray(out), axis=1)
+        jnp.asarray(in_bits), jnp.zeros((15, fs * 8), jnp.int32),
+        jnp.asarray(masks))
+    got = np.packbits(np.asarray(out).astype(np.uint8), axis=1)
     np.testing.assert_array_equal(got, expect)
     # history = last 15 input frames
     np.testing.assert_array_equal(np.asarray(hist), in_bits[-15:])
@@ -119,11 +117,11 @@ def test_time_interleaver_split_equivalence():
     fs = 64
     T = 24
     rng = np.random.default_rng(42)
-    data = rng.integers(0, 2, (T, fs * 8)).astype(np.uint8)
-    delays = jnp.asarray(tables.time_interleave_delays(fs * 8))
-    h0 = jnp.zeros((15, fs * 8), jnp.uint8)
-    full, _ = fec.time_interleave(jnp.asarray(data), h0, delays)
-    a, h = fec.time_interleave(jnp.asarray(data[:10]), h0, delays)
-    b, _ = fec.time_interleave(jnp.asarray(data[10:]), h, delays)
+    data = rng.integers(0, 2, (T, fs * 8)).astype(np.int32)
+    masks = jnp.asarray(tables.time_interleave_masks(fs * 8))
+    h0 = jnp.zeros((15, fs * 8), jnp.int32)
+    full, _ = fec.time_interleave(jnp.asarray(data), h0, masks)
+    a, h = fec.time_interleave(jnp.asarray(data[:10]), h0, masks)
+    b, _ = fec.time_interleave(jnp.asarray(data[10:]), h, masks)
     np.testing.assert_array_equal(np.asarray(full),
                                   np.concatenate([np.asarray(a), np.asarray(b)]))

@@ -24,8 +24,8 @@ def test_frontend_matches_reference_chain():
     sub1 = load("e2e_sub1_in").reshape(8, -1)
     expect = load("e2e_symbols").reshape(2, 76, 1536)
 
-    hist = tuple(jnp.zeros((15, int(d.shape[0])), jnp.uint8)
-                 for d in m._subch_delays)
+    hist = tuple(jnp.zeros((15, int(mm.shape[1])), jnp.int32)
+                 for mm in m._subch_masks)
     syms, _ = m.frontend(fic, (sub0, sub1), hist)
     got = cplx.to_complex(syms)
     assert got.shape == (2, 76, 1536)
