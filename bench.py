@@ -20,12 +20,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dabmod_jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from dabmod_tpu import tables
     from dabmod_tpu.config import ModSettings
     from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
     from dabmod_tpu.models import Modulator, make_default_layout
 
-    batch_tf = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch_tf = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     # a representative ensemble: 2 sub-channels (EEP-A3 64 kbit/s + UEP
     # 128 kbit/s level 3), TM-I, default var gain -- BASELINE configs[0]
     specs = ((0, 24, 0x22), (48, 48, 0x02))

@@ -1,0 +1,114 @@
+"""odr-dabmod-compatible command line interface.
+
+Flag grammar mirrors the reference (src/ConfigParser.cpp:480-641):
+
+    dabmod-tpu [input.eti] [-f out.iq -F format] [-m mode] [-g gainmode]
+               [-a gain] [-r rate] [-T tapsfile] [-l] [-C config.ini]
+
+A single non-flag argument is an INI configuration file, like the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from .config import GAIN_MODES, ModSettings, parse_ini
+
+
+def build_settings(argv) -> ModSettings:
+    ap = argparse.ArgumentParser(
+        prog="dabmod-tpu",
+        description="TPU-native DAB modulator (ODR-DabMod capabilities)")
+    ap.add_argument("input", nargs="?", default=None,
+                    help="ETI input file / tcp:// URI (default /dev/stdin)")
+    ap.add_argument("-C", dest="config", help="configuration file")
+    ap.add_argument("-a", dest="digital_gain", type=float, default=None,
+                    help="digital gain")
+    ap.add_argument("-f", dest="output_file", default=None,
+                    help="output I/Q file name")
+    ap.add_argument("-F", dest="format", default=None,
+                    help="output format: complexf|complexf_normalised|s16|s8|u8")
+    ap.add_argument("-g", dest="gainmode", default=None,
+                    help="gain mode: fix|max|var")
+    ap.add_argument("-m", dest="mode", type=int, default=None,
+                    help="DAB mode 1-4 (0: from ETI)")
+    ap.add_argument("-o", dest="tist_offset", type=float, default=None,
+                    help="timestamp offset in seconds (enables sync)")
+    ap.add_argument("-r", dest="rate", type=int, default=None,
+                    help="output sample rate")
+    ap.add_argument("-T", dest="taps_file", default=None,
+                    help="FIR filter taps file ('default' for built-in)")
+    ap.add_argument("-l", dest="loop", action="store_true",
+                    help="loop input file")
+    ap.add_argument("-b", dest="batch_tf", type=int, default=None,
+                    help="transmission frames per device batch")
+    ap.add_argument("-V", action="version", version="dabmod-tpu 0.1.0")
+    args = ap.parse_args(argv)
+
+    # single non-flag argument and no other flags => config file, like the
+    # reference's `argc == 2` rule
+    only_positional = (args.input is not None and args.config is None
+                       and all(v is None for v in (
+                           args.digital_gain, args.output_file, args.format,
+                           args.gainmode, args.mode, args.tist_offset,
+                           args.rate, args.taps_file))
+                       and not args.loop
+                       and not str(args.input).startswith("tcp://")
+                       and (args.input.endswith(".ini")))
+    if only_positional:
+        args.config = args.input
+        args.input = None
+
+    s = parse_ini(args.config) if args.config else ModSettings()
+
+    if args.input is not None:
+        s.input_name = args.input
+        if args.input.startswith("tcp://"):
+            s.input_transport = "tcp"
+    elif not s.input_name:
+        s.input_name = "/dev/stdin"
+    if args.loop:
+        s.loop = True
+    if args.digital_gain is not None:
+        s.digital_gain = args.digital_gain
+    if args.output_file is not None:
+        s.output = "file"
+        s.output_name = args.output_file
+    if args.format is not None:
+        s.file_output_format = args.format
+    if args.gainmode is not None:
+        s.gain_mode = GAIN_MODES[args.gainmode.lower()]
+    if args.mode is not None:
+        s.dab_mode = args.mode
+    if args.tist_offset is not None:
+        s.tist_offset = args.tist_offset
+        s.tist_enabled = True
+    if args.rate is not None:
+        s.output_rate = args.rate
+    if args.taps_file is not None:
+        s.filter_taps_file = args.taps_file
+    if args.batch_tf is not None:
+        s.batch_tf = args.batch_tf
+    if not s.output:
+        raise SystemExit("no output defined (use -f or a config file)")
+    s.normalise_for_output()
+    return s
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    s = build_settings(argv if argv is not None else sys.argv[1:])
+    from .runtime import ModRuntime
+    rt = ModRuntime(s)
+    code = rt.run()
+    rt.output.close()
+    logging.getLogger("dabmod_tpu").info(
+        "done: %d ETI frames modulated, %d restarts",
+        rt.framecount, rt.num_restarts)
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,7 +51,8 @@ class ModSettings:
     tist_enabled: bool = False
     tist_offset: float = 0.0
     # runtime / batching (TPU-native additions)
-    batch_tf: int = 8                    # transmission frames per device step
+    batch_tf: int = 16                   # transmission frames per device step
+    fft_precision: str = "high"          # MXU precision: default|high|highest
     show_process_time: bool = True
 
     def normalise_for_output(self):

@@ -135,12 +135,14 @@ def build_eti_frame(layout: EnsembleLayout, fct: int, fic: np.ndarray,
                     mnsc: int = 0xFFFF, tist: int = 0xFFFFFF) -> np.ndarray:
     """Assemble one raw 6144-byte ETI(NI) frame."""
     frame = np.full(ETI_NI_FRAME, 0x55, dtype=np.uint8)
-    fsync = FSYNC0 if (fct & 1) else (~FSYNC0 & 0xFFFFFF)
-    # SYNC: ERR=0xFF, FSYNC 24 bits
-    frame[0] = 0xFF
-    frame[1] = fsync & 0xFF
-    frame[2] = (fsync >> 8) & 0xFF
-    frame[3] = (fsync >> 16) & 0xFF
+    # SYNC: ERR=0xFF then FSYNC, laid out so that the little-endian u32 read
+    # of bytes 0..3 gives the reference's sync constants 0x49C5F8FF /
+    # 0xB63A07FF (alternating per frame, src/InputFileReader.cpp:85)
+    sync_u32 = 0xB63A07FF if (fct & 1) else 0x49C5F8FF
+    frame[0] = sync_u32 & 0xFF
+    frame[1] = (sync_u32 >> 8) & 0xFF
+    frame[2] = (sync_u32 >> 16) & 0xFF
+    frame[3] = (sync_u32 >> 24) & 0xFF
     nst = layout.nst
     # frame length in words: (header after first 8 bytes + payload) / 4
     fl = (4 * nst + 4 + layout.fic_length

@@ -33,6 +33,8 @@ class Modulator:
     def __init__(self, layout: EnsembleLayout, settings: ModSettings | None = None):
         self.layout = layout
         self.settings = s = settings or ModSettings()
+        from ..ops import fft as fft_mod
+        fft_mod.set_precision(s.fft_precision)
         mode = s.dab_mode if s.dab_mode else layout.dab_mode
         self.mode = mode
         self.p = p = tables.mode_params(mode)

@@ -56,28 +56,32 @@ class ModRuntime:
             self.modulator = Modulator(layout, self.settings)
             self.state = self.modulator.init_state()
 
-    def _align(self, batch):
-        """Drop frames until FP 0 and check FCT continuity
-        (ref: src/DabMod.cpp:683-707)."""
+    def _drop_until_fp0(self):
+        """Do not start the pipeline before frame phase 0, so all blocks are
+        properly aligned (ref: src/DabMod.cpp:683-692).  Operates on raw
+        pending frames via the FC header byte."""
+        if self._aligned or self._pending.shape[0] == 0:
+            return
+        fp = (self._pending[:, 6] >> 5) & 0x7
+        zeros = np.nonzero(fp == 0)[0]
+        if zeros.size == 0:
+            self._pending = self._pending[:0]
+            return
+        self._pending = self._pending[int(zeros[0]):]
+        self._aligned = True
+
+    def _check_continuity(self, batch):
+        """FCT continuity over the batch (ref: src/DabMod.cpp:694-707)."""
         fct = batch.fct.astype(np.int64)
-        fp = batch.fp.astype(np.int64) & 0x7
-        start = 0
-        if not self._aligned:
-            zeros = np.nonzero(fp == 0)[0]
-            if zeros.size == 0:
-                return None
-            start = int(zeros[0])
-            self._aligned = True
-            self._last_fct = int(fct[start]) - 1
-        expected = (self._last_fct + 1 + np.arange(len(fct) - start)) % 250
-        ok = fct[start:] == expected
+        first = fct[0] if self._last_fct < 0 else (self._last_fct + 1) % 250
+        expected = (first + np.arange(len(fct))) % 250
+        ok = fct == expected
         if not np.all(ok):
-            bad = int(np.nonzero(~ok)[0][0]) + start
+            bad = int(np.nonzero(~ok)[0][0])
             raise FctDiscontinuity(
-                f"ETI FCT discontinuity, expected {expected[bad - start]} "
-                f"received {fct[bad]}")
+                f"ETI FCT discontinuity, expected {expected[bad]} "
+                f"received {fct[bad]}", bad)
         self._last_fct = int(fct[-1])
-        return start
 
     def run_batches(self, max_batches: int | None = None) -> RunResult:
         s = self.settings
@@ -88,8 +92,11 @@ class ModRuntime:
             probe = self.reader.read_batch(4 if need_probe else 0)
             if probe.size:
                 self._pending = np.concatenate([self._pending, probe])
+            self._drop_until_fp0()
             if self._pending.shape[0] == 0:
-                return RunResult.NORMAL_END
+                if probe.size == 0:
+                    return RunResult.NORMAL_END
+                continue
             try:
                 head = parse_eti_frames(self._pending[:1])
             except EtiError as e:
@@ -120,18 +127,17 @@ class ModRuntime:
                 return RunResult.RECONFIGURE
 
             try:
-                start = self._align(batch)
+                self._check_continuity(batch)
             except FctDiscontinuity as e:
-                log.warning("%s", e)
+                log.warning("%s", e.args[0])
+                # requeue the frames from the discontinuity on; the restart
+                # realigns to FP 0 there (the reference restarts its whole
+                # flowgraph at this point, src/DabMod.cpp:694-707)
+                self._pending = np.concatenate(
+                    [raw[e.args[1]:], self._pending])
                 self._aligned = False
+                self._last_fct = -1
                 return RunResult.AGAIN
-            if start is None:
-                continue
-            if start > 0:
-                # drop pre-alignment frames; keep whole-TF granularity
-                keep = raw[start:]
-                self._pending = np.concatenate([keep, self._pending])
-                continue
 
             # timestamps (sequential MNSC decode over the batch)
             for i in range(len(batch)):
@@ -149,6 +155,8 @@ class ModRuntime:
     def run(self, max_batches: int | None = None) -> int:
         """Supervisor: restart on AGAIN/RECONFIGURE like the reference's
         while(run_again) loop (src/DabMod.cpp:517-587)."""
+        stalled = 0
+        last_framecount = -1
         while True:
             result = self.run_batches(max_batches)
             if result == RunResult.NORMAL_END:
@@ -156,10 +164,19 @@ class ModRuntime:
             if result == RunResult.FAILURE:
                 return 1
             self.num_restarts += 1
+            # a restart discards pipeline state, like the reference tearing
+            # down and rebuilding its flowgraph (src/DabMod.cpp:520-536)
+            if self.modulator is not None:
+                self.state = self.modulator.init_state()
+            stalled = stalled + 1 if self.framecount == last_framecount else 0
+            last_framecount = self.framecount
+            if stalled > 100:
+                log.error("restart loop making no progress; giving up")
+                return 1
             log.info("restarting modulator (%s, restart #%d)",
                      result.name, self.num_restarts)
             time.sleep(0)
 
 
 class FctDiscontinuity(EtiError):
-    pass
+    """args = (message, index_of_first_bad_frame_in_batch)."""

@@ -1,0 +1,127 @@
+"""Streaming runtime + CLI end-to-end tests (ETI file -> I/Q file)."""
+import numpy as np
+import pytest
+
+from dabmod_tpu import tables
+from dabmod_tpu.eti import build_eti_frame, parse_eti_frames, synth_eti_batch
+from dabmod_tpu.io.readers import EtiFileReader
+from dabmod_tpu.models import make_default_layout
+
+
+def _write_raw(tmp_path, frames, name="in.eti"):
+    path = tmp_path / name
+    path.write_bytes(frames.tobytes())
+    return str(path)
+
+
+def test_file_reader_framing(tmp_path):
+    frames = synth_eti_batch(6, mode=1)
+    # raw
+    r = EtiFileReader(_write_raw(tmp_path, frames))
+    assert r.streamtype == "raw"
+    np.testing.assert_array_equal(r.frames(), frames)
+    # streamed: u16 size prefix per frame
+    blob = b"".join(int(6144).to_bytes(2, "little") + f.tobytes()
+                    for f in frames)
+    p = tmp_path / "streamed.eti"
+    p.write_bytes(blob)
+    r = EtiFileReader(str(p))
+    assert r.streamtype == "streamed"
+    np.testing.assert_array_equal(r.frames(), frames)
+    # framed: u32 count then sized frames
+    p = tmp_path / "framed.eti"
+    p.write_bytes(int(6).to_bytes(4, "little") + blob)
+    r = EtiFileReader(str(p))
+    assert r.streamtype == "framed"
+    np.testing.assert_array_equal(r.frames(), frames)
+
+
+def test_cli_end_to_end(tmp_path):
+    from dabmod_tpu.cli import main
+    frames = synth_eti_batch(16, mode=1)
+    inp = _write_raw(tmp_path, frames)
+    out = str(tmp_path / "out.iq")
+    rc = main([inp, "-f", out, "-F", "s16", "-b", "2"])
+    assert rc == 0
+    data = np.fromfile(out, np.int16)
+    assert data.size == 4 * tables.mode_params(1).tf_samples * 2
+    # the signal must use a healthy fraction of the s16 range
+    assert 8000 < np.abs(data).max() <= 32767
+
+
+def test_runtime_fct_discontinuity_restart(tmp_path):
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.runtime import ModRuntime
+    frames = synth_eti_batch(16, mode=1)
+    # corrupt continuity: drop 2 frames in the middle
+    broken = np.concatenate([frames[:8], frames[10:]])
+    inp = _write_raw(tmp_path, broken)
+    out = str(tmp_path / "out.iq")
+    s = ModSettings(input_name=inp, output="file", output_name=out,
+                    file_output_format="complexf", batch_tf=1)
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+    assert rt.run() == 0
+    assert rt.num_restarts >= 1
+    # all aligned TFs still modulated (2 before break, up to 1 after
+    # realignment to FP 0)
+    data = np.fromfile(out, np.float32)
+    assert data.size % (tables.mode_params(1).tf_samples * 2) == 0
+    assert data.size > 0
+
+
+def test_runtime_fp_alignment(tmp_path):
+    """Frames before the first FP-0 frame must be dropped
+    (ref: src/DabMod.cpp:683-692)."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.runtime import ModRuntime
+    layout = make_default_layout(1)
+    rng = np.random.default_rng(1)
+    frames = []
+    for t in range(14):
+        fic = rng.integers(0, 256, 96, dtype=np.uint8)
+        sub = [rng.integers(0, 256, p.framesize, dtype=np.uint8)
+               for p in layout.subchannels]
+        # fp cycles but starts at 6 -> first 2 frames unaligned
+        frames.append(build_eti_frame(layout, fct=t, fic=fic, subch_data=sub,
+                                      fp=(6 + t) % 8))
+    inp = _write_raw(tmp_path, np.stack(frames))
+    out = str(tmp_path / "out.iq")
+    s = ModSettings(input_name=inp, output="file", output_name=out,
+                    file_output_format="complexf", batch_tf=1)
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+    assert rt.run() == 0
+    data = np.fromfile(out, np.float32)
+    # 12 aligned frames -> 3 TFs
+    assert data.size == 3 * tables.mode_params(1).tf_samples * 2
+
+
+def test_timestamp_decoder_mnsc():
+    from dabmod_tpu.timestamps import TimestampDecoder
+    td = TimestampDecoder()
+    # encode 2026-08-17 12:34:56 over the 4 frame phases
+    def bcd(v):
+        return ((v // 10) << 4) | (v % 10)
+    mnsc0 = 0x0000                       # type 0, ident 0
+    mnsc1 = bcd(56) | (1 << 7 - 4)       # unused bits
+    mnsc1 = (bcd(56) & 0x7F) | ((bcd(34) | 0x80) << 8)  # sec + min, sync=1
+    mnsc2 = bcd(12) | (bcd(17) << 8)     # hour + day
+    mnsc3 = bcd(8) | (bcd(26) << 8)      # month + year-2000
+    for i, mn in enumerate([mnsc0, mnsc1, mnsc2, mnsc3]):
+        td.update_eti(i, mn, pps=1_000_000, fct=i)
+    ts = td.timestamp()
+    assert ts.valid
+    import calendar
+    assert ts.seconds == calendar.timegm((2026, 8, 17, 12, 34, 56, 0, 0, 0))
+    assert ts.pps == 1_000_000
+
+
+def test_timestamp_pps_wraparound():
+    from dabmod_tpu.timestamps import TimestampDecoder
+    td = TimestampDecoder()
+    td.update_eti(0, 0, pps=16_000_000, fct=0)
+    secs0 = td.time_secs
+    td.update_eti(1, 0x8000, pps=100_000, fct=1)   # wrapped
+    assert td.time_secs == secs0 + 1
+    assert td.inhibit_second_update == 2
