@@ -50,6 +50,11 @@ class ModSettings:
     # timestamps / SFN
     tist_enabled: bool = False
     tist_offset: float = 0.0
+    # remote control
+    rc_telnet_port: int = 0              # 0 disables
+    rc_zmq_endpoint: str = ""            # "" disables
+    # events
+    events_endpoint: str = ""            # ZMQ PUB endpoint for events
     # runtime / batching (TPU-native additions)
     batch_tf: int = 16                   # transmission frames per device step
     fft_precision: str = "high"          # MXU precision: default|high|highest
@@ -105,6 +110,12 @@ def parse_ini(path: str) -> ModSettings:
             return cp.getboolean(sec, key, fallback=fallback)
         except ValueError:
             return bool(getint(sec, key, int(fallback)))
+
+    if getbool("remotecontrol", "telnet", False):
+        s.rc_telnet_port = getint("remotecontrol", "telnetport", 0)
+    if getbool("remotecontrol", "zmqctrl", False):
+        s.rc_zmq_endpoint = get("remotecontrol", "zmqctrlendpoint", "")
+    s.events_endpoint = get("log", "events_endpoint", "") or ""
 
     s.input_transport = get("input", "transport", "file")
     s.input_name = get("input", "source", "/dev/stdin")

@@ -10,6 +10,10 @@ import numpy as np
 
 
 def serialize_iq(iq: np.ndarray, fmt: str) -> bytes:
+    return serialize_iq_count(iq, fmt)[0]
+
+
+def serialize_iq_count(iq: np.ndarray, fmt: str) -> tuple[bytes, int]:
     """Convert samples into the chosen interleaved format with saturation,
     matching FormatConverter semantics (src/FormatConverter.cpp:62-206;
     C float->int conversion truncates).
@@ -24,15 +28,20 @@ def serialize_iq(iq: np.ndarray, fmt: str) -> bytes:
     else:
         interleaved = np.ascontiguousarray(x, np.float32).reshape(-1)
     if fmt in ("complexf", "complexf_normalised", "f32", ""):
-        return interleaved.tobytes()
+        return interleaved.tobytes(), 0
     if fmt == "s16":
-        return np.clip(interleaved, -32768.0, 32767.0).astype(
-            np.int16).tobytes()
+        clipped = np.clip(interleaved, -32768.0, 32767.0)
+        n = int((clipped != interleaved).sum())
+        return clipped.astype(np.int16).tobytes(), n
     if fmt == "u8":
-        return np.clip(interleaved + 128.0, 0.0, 255.0).astype(
-            np.uint8).tobytes()
+        shifted = interleaved + 128.0
+        clipped = np.clip(shifted, 0.0, 255.0)
+        n = int((clipped != shifted).sum())
+        return clipped.astype(np.uint8).tobytes(), n
     if fmt == "s8":
-        return np.clip(interleaved, -128.0, 127.0).astype(np.int8).tobytes()
+        clipped = np.clip(interleaved, -128.0, 127.0)
+        n = int((clipped != interleaved).sum())
+        return clipped.astype(np.int8).tobytes(), n
     raise ValueError(f"invalid output format {fmt}")
 
 
@@ -40,9 +49,12 @@ class FileOutput:
     def __init__(self, path: str, fmt: str = "complexf"):
         self.fmt = fmt
         self.f = open(path, "wb")
+        self.num_clipped_samples = 0
 
     def write(self, iq) -> None:
-        self.f.write(serialize_iq(iq, self.fmt))
+        data, n_clipped = serialize_iq_count(iq, self.fmt)
+        self.num_clipped_samples = n_clipped
+        self.f.write(data)
 
     def close(self):
         self.f.close()

@@ -22,6 +22,7 @@ from .eti import EnsembleReconfigured, EtiError, parse_eti_frames
 from .io.outputs import open_output
 from .io.readers import open_input
 from .models.modulator import Modulator
+from .rc import ParameterError, RemoteControllable, rcs
 from .timestamps import TimestampDecoder
 
 log = logging.getLogger("dabmod_tpu")
@@ -47,14 +48,169 @@ class ModRuntime:
         self._pending = np.empty((0, 6144), np.uint8)
         self._last_fct = -1
         self._aligned = False
+        self._rebuild = False
+        self.last_stats = {}
+        self._enrol_rc()
+        if settings.rc_telnet_port:
+            rcs.add_telnet(settings.rc_telnet_port)
+        if settings.rc_zmq_endpoint:
+            rcs.add_zmq(settings.rc_zmq_endpoint)
+
+    # ------------------------------------------------------------------
+    # Remote control surface (ref: the RC_ADD_PARAMETER registrations in
+    # GainControl/OfdmGenerator/GuardIntervalInserter/TII/FIRFilter/
+    # MemlessPoly/DabModulator/TimestampDecoder)
+    def _enrol_rc(self):
+        s = self.settings
+
+        def setter(attr, conv=float, rebuild=False):
+            def f(value):
+                setattr(s, attr, conv(value))
+                if rebuild:
+                    self._rebuild = True
+            return f
+
+        def boolconv(v):
+            return v.strip() not in ("0", "false", "False", "")
+
+        gain = RemoteControllable("gain")
+        gain.add_parameter("digital", "Digital Gain",
+                           lambda: s.digital_gain, setter("digital_gain"))
+        from .config import GAIN_MODES
+
+        def set_gainmode(v):
+            if v.lower() not in GAIN_MODES:
+                raise ParameterError(f"invalid gainmode {v}")
+            s.gain_mode = GAIN_MODES[v.lower()]
+            self._rebuild = True
+        gain.add_parameter("mode", "Gainmode (fix|max|var)",
+                           lambda: ("fix", "max", "var")[s.gain_mode],
+                           set_gainmode)
+        gain.add_parameter("var", "Variance setting for gainmode var "
+                           "(default: 4)", lambda: s.gain_mode_variance,
+                           setter("gain_mode_variance"))
+        rcs.enrol(gain)
+
+        ofdm_rc = RemoteControllable("ofdm")
+        ofdm_rc.add_parameter("cfr", "Enable crest factor reduction",
+                              lambda: int(s.enable_cfr),
+                              setter("enable_cfr", boolconv, rebuild=True))
+        ofdm_rc.add_parameter("clip", "CFR: Clip to amplitude",
+                              lambda: s.cfr_clip,
+                              setter("cfr_clip", rebuild=True))
+        ofdm_rc.add_parameter("errorclip", "CFR: Limit error",
+                              lambda: s.cfr_error_clip,
+                              setter("cfr_error_clip", rebuild=True))
+        ofdm_rc.add_parameter(
+            "clip_stats", "CFR: statistics (clip ratio, errorclip ratio)",
+            self._clip_stats)
+        ofdm_rc.add_parameter("papr", "PAPR measurements (before CFR, "
+                              "after CFR)", self._papr_stats)
+        rcs.enrol(ofdm_rc)
+
+        guard = RemoteControllable("guardinterval")
+        guard.add_parameter("windowlen", "Window length for OFDM windowng "
+                            "[0 to disable]", lambda: s.ofdm_window_overlap,
+                            setter("ofdm_window_overlap", int, rebuild=True))
+        rcs.enrol(guard)
+
+        tii = RemoteControllable("tii")
+        tii.add_parameter("enable", "enable TII [0-1]",
+                          lambda: int(s.tii_enable),
+                          setter("tii_enable", boolconv, rebuild=True))
+        tii.add_parameter("comb", "TII comb number [0-23]",
+                          lambda: s.tii_comb,
+                          setter("tii_comb", int, rebuild=True))
+        tii.add_parameter("pattern", "TII pattern number [0-69]",
+                          lambda: s.tii_pattern,
+                          setter("tii_pattern", int, rebuild=True))
+        tii.add_parameter("old_variant", "select old TII variant for old "
+                          "(buggy) receivers [0-1]",
+                          lambda: int(s.tii_old_variant),
+                          setter("tii_old_variant", boolconv, rebuild=True))
+        rcs.enrol(tii)
+
+        if s.filter_taps_file:
+            fir = RemoteControllable("firfilter")
+            fir.add_parameter(
+                "ntaps", "(Read-only) number of filter taps.",
+                lambda: (self.modulator._fir_taps.shape[0]
+                         if self.modulator is not None
+                         and self.modulator._fir_taps is not None else 0))
+            fir.add_parameter(
+                "tapsfile", "Filename containing filter taps. When written "
+                "to, the new file gets automatically loaded.",
+                lambda: s.filter_taps_file,
+                setter("filter_taps_file", str, rebuild=True))
+            rcs.enrol(fir)
+
+        if s.poly_coef_file:
+            poly = RemoteControllable("poly")
+            poly.add_parameter("coeffile", "Filename containing poly "
+                               "coefficients; reloaded when written to.",
+                               lambda: s.poly_coef_file,
+                               setter("poly_coef_file", str, rebuild=True))
+            rcs.enrol(poly)
+
+        mod = RemoteControllable("modulator")
+        mod.add_parameter("rate", "(Read-only) IQ output samplerate",
+                          lambda: s.output_rate)
+        mod.add_parameter("num_clipped_samples", "(Read-only) Number of "
+                          "samples clipped in last frame during format "
+                          "conversion", lambda: getattr(
+                              self.output, "num_clipped_samples", 0))
+        rcs.enrol(mod)
+
+        tist = RemoteControllable("tist")
+        tist.add_parameter("offset", "TIST offset [s]",
+                           lambda: self.ts_decoder.offset_s,
+                           lambda v: setattr(self.ts_decoder, "offset_s",
+                                             float(v)))
+        tist.add_parameter("timestamp", "FCT and timestamp [s]",
+                           lambda: str(self.ts_decoder.timestamp().fct)
+                           + " " + str(self.ts_decoder.timestamp()
+                                       .as_seconds()))
+        rcs.enrol(tist)
+
+    def _clip_stats(self):
+        st = self.last_stats
+        if "cfr_clip" not in st:
+            return "No stats available"
+        n = self.settings.batch_tf * tables.mode_params(
+            self.modulator.mode).spacing * 77
+        clip = float(np.asarray(st["cfr_clip"]).sum()) / n
+        err = float(np.asarray(st["cfr_errclip"]).sum()) / n
+        return (f"Statistics : {clip * 100:.6f}% samples clipped, "
+                f"{err * 100:.6f}% errors clipped.")
+
+    def _papr_stats(self):
+        st = self.last_stats
+        if "papr_after_cfr" not in st:
+            return "PAPR [dB]: N/A, N/A"
+        papr = float(np.asarray(st["papr_after_cfr"]).mean())
+        return f"PAPR [dB]: N/A, {papr:.6f}"
 
     # ------------------------------------------------------------------
     def _ensure_modulator(self, layout):
+        if self._rebuild and self.modulator is not None:
+            log.info("RC parameter change; rebuilding pipeline")
+            old_state = self.state
+            old_layout = self.modulator.layout
+            self.modulator = Modulator(layout, self.settings)
+            new_state = self.modulator.init_state()
+            if old_layout == layout and old_state is not None:
+                # keep the time-interleaver history across the rebuild
+                new_state["ti_history"] = old_state["ti_history"]
+                new_state["tf_index"] = old_state["tf_index"]
+            self.state = new_state
+            self._rebuild = False
+            return
         if self.modulator is None or self.modulator.layout != layout:
             if self.modulator is not None:
                 log.warning("ensemble layout changed; rebuilding pipeline")
             self.modulator = Modulator(layout, self.settings)
             self.state = self.modulator.init_state()
+            self._rebuild = False
 
     def _drop_until_fp0(self):
         """Do not start the pipeline before frame phase 0, so all blocks are
@@ -144,11 +300,15 @@ class ModRuntime:
                 self.ts_decoder.update_eti(batch.fp[i], batch.mnsc[i],
                                            batch.tist_pps[i], batch.fct[i])
 
-            iq, self.state, _stats = self.modulator.modulate_eti(
+            iq, self.state, stats = self.modulator.modulate_eti(
                 batch, self.state)
+            if stats:
+                self.last_stats = stats
             self.output.write(np.asarray(iq))
             self.framecount += T
             batches_done += 1
+            if (self.framecount // max(1, T)) % 64 == 0:
+                rcs.check_faults()
         return RunResult.NORMAL_END
 
     # ------------------------------------------------------------------

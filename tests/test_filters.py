@@ -1,0 +1,168 @@
+"""FIR / resampler / DPD / format-conversion validation.
+
+The reference implementations are sequential C++ loops; these tests recompute
+them with independent NumPy ports (written from src/FIRFilter.cpp:144-228,
+src/Resampler.cpp:131-195, src/MemlessPoly.cpp:237-276) and require the
+batched pair-domain ops to match.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dabmod_tpu.ops import cplx, filters
+
+
+def _rand_c(n, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            * scale).astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# FIR
+# ---------------------------------------------------------------------------
+
+def _fir_ref(x, taps):
+    """out[n] = sum_j x[n+j]*taps[j], truncated at the frame end."""
+    n = x.size
+    out = np.zeros(n, np.complex64)
+    for i in range(n):
+        m = min(taps.size, n - i)
+        out[i] = (x[i:i + m].astype(np.complex128) @ taps[:m]).astype(
+            np.complex64)
+    return out
+
+
+@pytest.mark.parametrize("impl", ["direct", "matmul"])
+def test_fir(impl):
+    from dabmod_tpu.tables import DEFAULT_FIR_TAPS
+    x = _rand_c(3000, seed=2)
+    expect = _fir_ref(x, DEFAULT_FIR_TAPS)
+    fn = filters.fir_filter if impl == "direct" else filters.fir_filter_matmul
+    got = cplx.to_complex(fn(jnp.asarray(cplx.from_complex(x))[None],
+                             jnp.asarray(DEFAULT_FIR_TAPS))[0])
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Resampler
+# ---------------------------------------------------------------------------
+
+def _resample_ref(x, plan):
+    """Sequential NumPy port of the reference overlap-add resampler loop."""
+    hi, ho = plan.fft_in // 2, plan.fft_out // 2
+    buf_in = np.zeros(hi, np.complex64)
+    buf_out = np.zeros(ho, np.complex64)
+    out = np.zeros(x.size * plan.L // plan.M, np.complex64)
+    j = 0
+    for i in range(0, x.size, hi):
+        blk = np.concatenate([buf_in, x[i:i + hi]])
+        buf_in = x[i:i + hi].copy()
+        front = np.fft.fft(blk * plan.window)
+        if plan.fft_out > plan.fft_in:
+            back = np.zeros(plan.fft_out, np.complex128)
+            back[:hi + 1] = front[:hi + 1]
+            back[plan.fft_out - hi:] = front[hi:]
+        elif plan.fft_out < plan.fft_in:
+            back = np.concatenate([
+                front[:ho],
+                [0.5 * (front[ho] + front[plan.fft_in - ho])],
+                front[plan.fft_in - ho + 1:]])
+        else:
+            back = front
+        back = back * plan.factor
+        y = np.fft.ifft(back) * plan.fft_out
+        out[j:j + ho] = (buf_out + y[:ho]).astype(np.complex64)
+        buf_out = y[ho:].astype(np.complex64)
+        j += ho
+    return out
+
+
+@pytest.mark.parametrize("rate", [4_096_000, 1_024_000, 3_072_000])
+def test_resampler(rate):
+    plan = filters.ResamplerPlan.create(2_048_000, rate, 2048)
+    hi = plan.fft_in // 2
+    n = hi * 8
+    x = _rand_c(n, seed=5)
+    expect = _resample_ref(x, plan)
+    y, in_tail, out_tail = filters.resample(
+        jnp.asarray(cplx.from_complex(x)), plan,
+        jnp.zeros((hi, 2), jnp.float32),
+        jnp.zeros((plan.fft_out // 2, 2), jnp.float32))
+    got = cplx.to_complex(y)
+    assert got.size == expect.size
+    scale = max(1.0, np.abs(expect).max())
+    np.testing.assert_allclose(got / scale, expect / scale, atol=2e-5)
+    # carried state
+    np.testing.assert_allclose(cplx.to_complex(in_tail), x[-hi:], atol=1e-6)
+
+
+def test_resampler_streaming_continuity():
+    plan = filters.ResamplerPlan.create(2_048_000, 4_096_000, 2048)
+    hi, ho = plan.fft_in // 2, plan.fft_out // 2
+    x = _rand_c(hi * 8, seed=6)
+    xp = jnp.asarray(cplx.from_complex(x))
+    it = jnp.zeros((hi, 2), jnp.float32)
+    ot = jnp.zeros((ho, 2), jnp.float32)
+    full, _, _ = filters.resample(xp, plan, it, ot)
+    a, it2, ot2 = filters.resample(xp[:hi * 3], plan, it, ot)
+    b, _, _ = filters.resample(xp[hi * 3:], plan, it2, ot2)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(a), np.asarray(b)]), np.asarray(full),
+        atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Memoryless polynomial DPD
+# ---------------------------------------------------------------------------
+
+def test_memless_poly():
+    am = np.array([1.0, 0.1, -0.05, 0.02, -0.01], np.float32)
+    pm = np.array([0.02, -0.01, 0.005, 0.0, 0.0], np.float32)
+    x = _rand_c(500, seed=7, scale=0.5)
+
+    m = np.abs(x) ** 2
+    a = am[0] + m * (am[1] + m * (am[2] + m * (am[3] + m * am[4])))
+    ph = -(pm[0] + m * (pm[1] + m * (pm[2] + m * (pm[3] + m * pm[4]))))
+    p2 = ph * ph
+    re = 1.0 - p2 * (-0.5 + p2 * (0.486666 + p2 * (-0.00138888)))
+    im = ph * (1.0 + p2 * (0.166666 + p2 * 0.00833333))
+    expect = (x * a * (re + 1j * im)).astype(np.complex64)
+
+    got = cplx.to_complex(filters.memless_poly(
+        jnp.asarray(cplx.from_complex(x)), jnp.asarray(am), jnp.asarray(pm)))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_memless_lut():
+    lut = (np.linspace(1.0, 0.9, 32) + 1j * np.linspace(0, 0.05, 32)
+           ).astype(np.complex64)
+    scalefactor = 2.0 ** 31    # maps |x| ~ 2 to full range
+    x = _rand_c(300, seed=8)
+    mag = np.abs(x)
+    ix = np.minimum((np.rint(mag * scalefactor)).astype(np.uint64) >> 27, 31)
+    expect = (x * lut[ix.astype(int)]).astype(np.complex64)
+    got = cplx.to_complex(filters.memless_lut(
+        jnp.asarray(cplx.from_complex(x)),
+        jnp.asarray(cplx.from_complex(lut)), scalefactor))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Format conversion + PAPR
+# ---------------------------------------------------------------------------
+
+def test_format_convert_s16_clipping():
+    x = np.array([100.5 + 40000.0j, -40000.0 - 3.2j], np.complex64)
+    out, n = filters.format_convert(jnp.asarray(cplx.from_complex(x)), "s16")
+    assert int(n) == 2
+    np.testing.assert_array_equal(np.asarray(out), [100, 32767, -32768, -3])
+
+
+def test_papr():
+    x = np.zeros(1024, np.complex64)
+    x[:] = 1.0
+    x[0] = 4.0      # peak power 16, mean ~ (16+1023)/1024
+    got = float(filters.papr_db(jnp.asarray(cplx.from_complex(x)), axis=0))
+    mean = (16 + 1023) / 1024
+    assert abs(got - 10 * np.log10(16 / mean)) < 1e-3
