@@ -125,8 +125,11 @@ class EtiTcpReader:
         self.sock.close()
 
 
-def open_input(settings) -> EtiFileReader | EtiTcpReader:
+def open_input(settings):
     name = settings.input_name
+    if settings.input_transport == "edi" or name.startswith("udp://"):
+        from .edi import EdiInput
+        return EdiInput(name)
     if settings.input_transport == "tcp" or name.startswith("tcp://"):
         return EtiTcpReader(name)
     return EtiFileReader(name, loop=settings.loop)

@@ -295,10 +295,22 @@ class ModRuntime:
                 self._last_fct = -1
                 return RunResult.AGAIN
 
-            # timestamps (sequential MNSC decode over the batch)
-            for i in range(len(batch)):
-                self.ts_decoder.update_eti(batch.fp[i], batch.mnsc[i],
-                                           batch.tist_pps[i], batch.fct[i])
+            # timestamps: EDI gives UTC directly, ETI needs the MNSC decode
+            edi_times = getattr(self.reader, "timestamps", None)
+            if edi_times:
+                for i in range(min(len(batch), len(edi_times))):
+                    seconds, utco, tsta = edi_times[i]
+                    # EDI epoch is 2000-01-01 plus UTCO leap-second offset
+                    # (ref: src/EtiReader.cpp:476-529)
+                    posix = seconds + 946_684_800 + 32 - utco
+                    self.ts_decoder.update_edi(
+                        posix, batch.tist_pps[i], batch.fct[i], batch.fp[i])
+                del edi_times[:len(batch)]
+            else:
+                for i in range(len(batch)):
+                    self.ts_decoder.update_eti(batch.fp[i], batch.mnsc[i],
+                                               batch.tist_pps[i],
+                                               batch.fct[i])
 
             iq, self.state, stats = self.modulator.modulate_eti(
                 batch, self.state)
