@@ -62,11 +62,29 @@ class EtiFrameBatch:
 
 
 def parse_eti_frames(raw: np.ndarray) -> EtiFrameBatch:
-    """Parse [T, 6144] uint8 raw ETI(NI) frames into structured arrays."""
+    """Parse [T, 6144] uint8 raw ETI(NI) frames into structured arrays.
+
+    Uses the native C++ batch parser when available (native/), with the
+    vectorised NumPy implementation as fallback."""
     if raw.ndim != 2 or raw.shape[1] != ETI_NI_FRAME:
         raise EtiError(f"expected [T, {ETI_NI_FRAME}] raw frames, got {raw.shape}")
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
     T = raw.shape[0]
+
+    if T > 0:
+        from . import native
+        parsed = native.parse_eti_batch(raw)
+        if parsed is not None:
+            mid, stc_list, fct, fp, mnsc, tist, fic, subch_list = parsed
+            params = tuple(SubchannelParams(sad, stl * 8, tpl)
+                           for (_, sad, stl, tpl) in stc_list)
+            scids = tuple(scid for (scid, _, _, _) in stc_list)
+            layout = EnsembleLayout(mid, len(params),
+                                    128 if mid == 3 else 96, params, scids)
+            return EtiFrameBatch(layout, fct, fp, mnsc, tist,
+                                 tist.astype(np.uint32), fic,
+                                 [np.ascontiguousarray(x)
+                                  for x in subch_list])
 
     # FC word, bytes 4..7 (bit-field layout per src/Eti.h:56-66 on LE hosts)
     fct = raw[:, 4].copy()

@@ -29,6 +29,11 @@ def serialize_iq_count(iq: np.ndarray, fmt: str) -> tuple[bytes, int]:
         interleaved = np.ascontiguousarray(x, np.float32).reshape(-1)
     if fmt in ("complexf", "complexf_normalised", "f32", ""):
         return interleaved.tobytes(), 0
+    from .. import native
+    conv = native.convert(interleaved, fmt)
+    if conv is not None:
+        out, n = conv
+        return out.tobytes(), n
     if fmt == "s16":
         clipped = np.clip(interleaved, -32768.0, 32767.0)
         n = int((clipped != interleaved).sum())
