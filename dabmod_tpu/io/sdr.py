@@ -1,0 +1,299 @@
+"""SDR output framework: async device sink with SFN timestamp gating.
+
+Port of the reference's device-agnostic Output::SDR wrapper
+(src/output/SDR.cpp:50-543): the modulator thread enqueues timestamped frames
+into a bounded queue; a realtime device thread pops, checks SFN timing
+(drop frames whose timestamp is in the past, abort if >100 s in the future),
+tracks continuity/underruns, and forwards to an SDRDevice implementation.
+
+Concrete SDR drivers (UHD/Soapy/Lime/BladeRF/Dexter) require their vendor
+libraries; in this environment a FileSdrDevice and LoopbackSdrDevice provide
+the same interface for file output and DPD-feedback testing.  The hardware
+drivers raise an informative error when the vendor library is absent.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+
+from ..timestamps import FrameTimestamp
+
+log = logging.getLogger("dabmod_tpu.sdr")
+
+# ref: src/output/SDR.cpp:52-56
+FRAMES_MAX_SIZE_UNSYNC = 8
+FRAMES_MAX_SIZE_SYNC = 250
+
+
+class SdrDevice:
+    """Interface mirror of src/output/SDRDevice.h:113-146."""
+
+    def tune(self, lo_offset: float, frequency: float):
+        raise NotImplementedError
+
+    def transmit_frame(self, samples: np.ndarray, ts: FrameTimestamp | None):
+        raise NotImplementedError
+
+    def receive_frame(self, num_samples: int, ts: FrameTimestamp):
+        """Returns (samples, rx_timestamp)."""
+        raise NotImplementedError
+
+    def get_run_statistics(self) -> dict:
+        return {}
+
+    def close(self):
+        pass
+
+
+class FileSdrDevice(SdrDevice):
+    """File-backed device (testing / offline use)."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "wb")
+        self.frames_transmitted = 0
+
+    def tune(self, lo_offset, frequency):
+        pass
+
+    def transmit_frame(self, samples, ts):
+        self.f.write(np.ascontiguousarray(samples, np.float32).tobytes())
+        self.frames_transmitted += 1
+
+    def get_run_statistics(self):
+        return {"frames": self.frames_transmitted}
+
+    def close(self):
+        self.f.close()
+
+
+class LoopbackSdrDevice(SdrDevice):
+    """Keeps the last transmitted frames and 'receives' them through an
+    optional PA model -- the closed-loop test double for the DPD engine."""
+
+    def __init__(self, pa_model=None, history_frames: int = 4):
+        self.pa_model = pa_model or (lambda x: x)
+        self._history: list[tuple[np.ndarray, FrameTimestamp | None]] = []
+        self._hist_max = history_frames
+        self.frames_transmitted = 0
+
+    def tune(self, lo_offset, frequency):
+        pass
+
+    def transmit_frame(self, samples, ts):
+        self._history.append((np.asarray(samples), ts))
+        self._history = self._history[-self._hist_max:]
+        self.frames_transmitted += 1
+
+    def receive_frame(self, num_samples, ts):
+        for samples, fts in self._history:
+            if fts is not None and ts is not None \
+                    and fts.seconds == ts.seconds and fts.pps == ts.pps:
+                flat = samples.reshape(-1, 2)
+                sel = flat[:num_samples]
+                rx = self.pa_model(sel[:, 0] + 1j * sel[:, 1])
+                return np.stack([rx.real, rx.imag], -1).astype(np.float32), ts
+        return np.zeros((num_samples, 2), np.float32), ts
+
+    def get_run_statistics(self):
+        return {"frames": self.frames_transmitted}
+
+
+def _missing_driver(name, module):
+    class Missing(SdrDevice):
+        def __init__(self, *a, **kw):
+            raise RuntimeError(
+                f"{name} output requires the {module} library, which is not "
+                f"available in this environment")
+    return Missing
+
+
+try:
+    import uhd as _uhd  # noqa: F401
+    UhdDevice = None   # real driver would go here
+except ImportError:
+    UhdDevice = _missing_driver("UHD", "uhd")
+try:
+    import SoapySDR as _soapy  # noqa: F401
+    SoapyDevice = None
+except ImportError:
+    SoapyDevice = _missing_driver("SoapySDR", "SoapySDR")
+LimeDevice = _missing_driver("LimeSDR", "LimeSuite")
+BladeRFDevice = _missing_driver("BladeRF", "libbladeRF")
+DexterDevice = _missing_driver("Dexter", "libiio")
+
+
+class SdrOutput:
+    """Async sink + SFN gating (ref: src/output/SDR.cpp:135-361)."""
+
+    def __init__(self, device: SdrDevice, sync: bool = False,
+                 sample_rate: int = 2_048_000, feedback_port: int = 0,
+                 mute: bool = False):
+        self.device = device
+        self.sync = sync
+        self.sample_rate = sample_rate
+        self.muting = mute
+        maxsize = FRAMES_MAX_SIZE_SYNC if sync else FRAMES_MAX_SIZE_UNSYNC
+        self.queue: queue.Queue = queue.Queue(maxsize)
+        self.underruns = 0
+        self.dropped = 0
+        self.queue_overflows = 0
+        self.frames = 0
+        self.num_clipped_samples = 0
+        self._running = True
+        self.feedback_server = None
+        if feedback_port:
+            self.feedback_server = DpdFeedbackServer(
+                device, feedback_port, sample_rate)
+        self._thread = threading.Thread(target=self._device_thread,
+                                        daemon=True, name="sdr-device")
+        self._thread.start()
+
+    # -- modulator-thread side --------------------------------------------
+    def write(self, iq, ts: FrameTimestamp | None = None):
+        frame = np.asarray(iq)
+        if self.feedback_server is not None and ts is not None:
+            self.feedback_server.set_tx_frame(frame, ts)
+        try:
+            # push_overflow: drop oldest on full (lib/ThreadsafeQueue.h)
+            self.queue.put_nowait((frame, ts))
+        except queue.Full:
+            self.queue_overflows += 1
+            try:
+                self.queue.get_nowait()
+            except queue.Empty:
+                pass
+            self.queue.put_nowait((frame, ts))
+
+    # -- device thread ----------------------------------------------------
+    def _device_thread(self):
+        while self._running:
+            try:
+                frame, ts = self.queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if ts is not None and self.sync and ts.valid:
+                offset = ts.as_seconds() - time.time()
+                if offset < 0:
+                    # Timestamp in the past: drop the frame
+                    # (ref: src/output/SDR.cpp:332-340)
+                    self.dropped += 1
+                    log.warning("SDR: dropping frame with timestamp %.3f s "
+                                "in the past", -offset)
+                    continue
+                if offset > 100:
+                    # (ref: src/output/SDR.cpp:342-351)
+                    log.error("SDR: timestamp is %.1f s in the future, "
+                              "aborting", offset)
+                    self._running = False
+                    break
+            if not self.muting:
+                try:
+                    self.device.transmit_frame(frame, ts)
+                    self.frames += 1
+                except Exception as e:      # noqa: BLE001
+                    self.underruns += 1
+                    log.error("SDR transmit error: %s", e)
+
+    def get_run_statistics(self) -> dict:
+        stats = {"underruns": self.underruns, "dropped": self.dropped,
+                 "queue_overflows": self.queue_overflows,
+                 "frames": self.frames}
+        stats.update(self.device.get_run_statistics())
+        return stats
+
+    def close(self):
+        deadline = time.time() + 5
+        while not self.queue.empty() and time.time() < deadline:
+            time.sleep(0.02)
+        self._running = False
+        self._thread.join(timeout=2)
+        if self.feedback_server:
+            self.feedback_server.stop()
+        self.device.close()
+
+
+class DpdFeedbackServer:
+    """TCP server pairing timestamp-aligned TX snapshots with RX bursts
+    (ref: src/output/Feedback.cpp; wire protocol per python/dpd/Measure.py:
+    client sends version byte 0x01 + u32 num_samples; server replies
+    u32 num_samps, u32 tx_second, u32 tx_pps, tx samples (complexf),
+    u32 rx_second, u32 rx_pps, rx samples)."""
+
+    def __init__(self, device: SdrDevice, port: int, sample_rate: int):
+        self.device = device
+        self.sample_rate = sample_rate
+        self._tx_lock = threading.Condition()
+        self._want_samples = 0
+        self._tx_frame = None
+        self._tx_ts = None
+        self._running = True
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(1)
+        self._srv.settimeout(0.5)
+        self._thread = threading.Thread(target=self._serve, daemon=True,
+                                        name="dpd-feedback")
+        self._thread.start()
+
+    def set_tx_frame(self, frame: np.ndarray, ts: FrameTimestamp):
+        with self._tx_lock:
+            if self._want_samples and self._tx_frame is None:
+                flat = frame.reshape(-1, 2)
+                self._tx_frame = flat[:self._want_samples].copy()
+                self._tx_ts = ts
+                self._tx_lock.notify_all()
+
+    def _serve(self):
+        while self._running:
+            try:
+                conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                self._handle(conn)
+            except (OSError, struct.error) as e:
+                log.warning("DPD feedback connection error: %s", e)
+            finally:
+                conn.close()
+
+    def _handle(self, conn: socket.socket):
+        conn.settimeout(5)
+        version = conn.recv(1)
+        if version != b"\x01":
+            return
+        (num_samples,) = struct.unpack("=I", conn.recv(4))
+        num_samples = min(num_samples, 10 * self.sample_rate)
+        with self._tx_lock:
+            self._want_samples = num_samples
+            self._tx_frame = None
+            ok = self._tx_lock.wait_for(lambda: self._tx_frame is not None,
+                                        timeout=5)
+            self._want_samples = 0
+            if not ok:
+                return
+            tx = self._tx_frame
+            ts = self._tx_ts
+        rx, rx_ts = self.device.receive_frame(num_samples, ts)
+        sec = ts.seconds if ts else 0
+        pps = ts.pps if ts else 0
+        conn.sendall(struct.pack("=III", tx.shape[0], sec, pps))
+        conn.sendall(np.ascontiguousarray(tx, np.float32).tobytes())
+        rsec = rx_ts.seconds if rx_ts else 0
+        rpps = rx_ts.pps if rx_ts else 0
+        conn.sendall(struct.pack("=II", rsec, rpps))
+        conn.sendall(np.ascontiguousarray(rx, np.float32).tobytes())
+
+    def stop(self):
+        self._running = False
+        self._srv.close()
+        self._thread.join(timeout=2)

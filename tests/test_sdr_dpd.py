@@ -1,0 +1,160 @@
+"""SDR output framework + DPD closed loop tests."""
+import time
+
+import numpy as np
+import pytest
+
+from dabmod_tpu.io.sdr import (DpdFeedbackServer, FileSdrDevice,
+                               LoopbackSdrDevice, SdrOutput)
+from dabmod_tpu.timestamps import FrameTimestamp
+from dabmod_tpu.dpd import ExtractStatistic, Measure, Poly
+from dabmod_tpu.dpd.measure import normalise_rx, phase_align
+
+
+def _wait(cond, timeout=5.0):
+    t0 = time.time()
+    while not cond() and time.time() - t0 < timeout:
+        time.sleep(0.02)
+    assert cond()
+
+
+def test_sdr_output_unsync(tmp_path):
+    dev = FileSdrDevice(str(tmp_path / "out.iq"))
+    out = SdrOutput(dev, sync=False)
+    frame = np.ones((1000, 2), np.float32)
+    for _ in range(5):
+        out.write(frame)
+    _wait(lambda: out.frames == 5)
+    out.close()
+    data = np.fromfile(tmp_path / "out.iq", np.float32)
+    assert data.size == 5 * 2000
+    assert out.get_run_statistics()["underruns"] == 0
+
+
+def test_sdr_sync_drops_late_frames():
+    dev = LoopbackSdrDevice()
+    out = SdrOutput(dev, sync=True)
+    frame = np.ones((100, 2), np.float32)
+    past = FrameTimestamp(valid=True, seconds=int(time.time()) - 10, pps=0)
+    future = FrameTimestamp(valid=True, seconds=int(time.time()) + 2, pps=0)
+    out.write(frame, past)
+    out.write(frame, future)
+    _wait(lambda: out.dropped == 1)
+    _wait(lambda: out.frames == 1)
+    out.close()
+
+
+def test_sdr_queue_overflow():
+    class SlowDevice(LoopbackSdrDevice):
+        def transmit_frame(self, samples, ts):
+            time.sleep(0.2)
+            super().transmit_frame(samples, ts)
+    out = SdrOutput(SlowDevice(), sync=False)   # queue bound = 8
+    frame = np.ones((10, 2), np.float32)
+    for _ in range(30):
+        out.write(frame)
+    assert out.queue_overflows > 0
+    out._running = False
+    out._thread.join(timeout=2)
+
+
+def _pa_model(x):
+    """Synthetic PA: compression + phase rotation growing with power."""
+    m2 = np.abs(x) ** 2
+    gain = 1.0 - 0.2 * m2
+    phase = 0.15 * m2
+    return (x * gain * np.exp(1j * phase)).astype(np.complex64)
+
+
+def test_dpd_closed_loop():
+    """Feedback server + Measure + ExtractStatistic + Poly on a synthetic PA:
+    the fitted model must recover the PA's AM/AM compression."""
+    dev = LoopbackSdrDevice(pa_model=_pa_model)
+    server = DpdFeedbackServer(dev, port=0, sample_rate=2_048_000)
+    try:
+        rng = np.random.default_rng(5)
+        n = 20000
+        iq = (rng.standard_normal((n, 2)) * 0.25).astype(np.float32)
+        ts = FrameTimestamp(valid=True, seconds=1000, pps=0)
+        dev.transmit_frame(iq, ts)
+
+        meas = Measure("127.0.0.1", server.port, n)
+
+        import threading
+        result = {}
+
+        def fetch():
+            result["data"] = meas.get_samples()
+
+        t = threading.Thread(target=fetch)
+        t.start()
+        # the server waits for the next TX frame snapshot
+        for _ in range(50):
+            server.set_tx_frame(iq, ts)
+            time.sleep(0.05)
+            if not t.is_alive():
+                break
+        t.join(timeout=5)
+        assert "data" in result
+        tx, tx_ts, rx, rx_ts = result["data"]
+        assert tx.size == n and rx.size == n
+        assert tx_ts == 1000.0
+
+        # closed-loop fit
+        rx = phase_align(tx, normalise_rx(tx, rx))
+        es = ExtractStatistic(n_bins=40, n_per_bin=200, peak_amplitude=1.0)
+        tx_avg, rx_avg, ph = es.extract(tx, rx)
+        assert tx_avg.size > 10
+
+        model = Poly()
+        model.train(tx_avg, rx_avg, ph)
+        # the AM/AM curve must show compression: predistorter gain above 1
+        # at high amplitude (tx_est > rx for large rx)
+        hi = model.am_am(np.array([0.6]))[0]
+        lo = model.am_am(np.array([0.1]))[0]
+        assert hi / 0.6 > lo / 0.1 * 1.01
+        # phase model must capture the positive phase rotation
+        assert model.am_pm(np.array([0.7]))[0] > 0.01
+    finally:
+        server.stop()
+
+
+def test_adapt_writes_and_reloads_coefs(tmp_path):
+    """Adapt -> RC -> runtime poly reload, end to end over ZMQ."""
+    zmq = pytest.importorskip("zmq")
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.dpd.adapt import Adapt, write_coef_file
+    from dabmod_tpu.eti import synth_eti_batch
+    from dabmod_tpu.rc import rcs
+    from dabmod_tpu.runtime import ModRuntime
+
+    coef_path = str(tmp_path / "poly.coef")
+    write_coef_file(coef_path, [1, 0, 0, 0, 0], [0, 0, 0, 0, 0])
+
+    frames = synth_eti_batch(8, mode=1)
+    inp = tmp_path / "in.eti"
+    inp.write_bytes(frames.tobytes())
+    s = ModSettings(input_name=str(inp), output="file",
+                    output_name=str(tmp_path / "out.iq"),
+                    file_output_format="complexf", batch_tf=1,
+                    poly_coef_file=coef_path,
+                    rc_zmq_endpoint="tcp://127.0.0.1:39821")
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+    try:
+        rt.run_batches(max_batches=1)
+
+        adapt = Adapt("tcp://127.0.0.1:39821", coef_path)
+        new_am = np.array([1.05, 0.2, 0, 0, 0], np.float32)
+        new_pm = np.array([0.01, 0, 0, 0, 0], np.float32)
+        adapt.set_predistorter(("poly", new_am, new_pm))
+
+        rt.run_batches(max_batches=1)    # triggers the rebuild
+        np.testing.assert_allclose(
+            np.asarray(rt.modulator._poly_am), new_am, rtol=1e-6)
+        assert adapt.get_digital_gain() == 1.0
+        adapt.set_digital_gain(0.9)
+        assert rt.settings.digital_gain == 0.9
+        adapt.rc.close()
+    finally:
+        rcs.shutdown()
