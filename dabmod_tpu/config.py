@@ -129,6 +129,7 @@ def parse_ini(path: str) -> ModSettings:
     s.gain_mode = GAIN_MODES[gm]
     s.gain_mode_variance = getfloat("modulator", "normalise_variance", 4.0)
     s.output_rate = getint("modulator", "rate", 2_048_000)
+    s.cic_eq_clock_rate = getint("uhdoutput", "master_clock_rate", 0)
     s.ofdm_window_overlap = getint("modulator", "ofdmwindowing", 0)
 
     s.enable_cfr = getbool("cfr", "enable", False)

@@ -85,6 +85,19 @@ class Modulator:
         else:
             self._tii_vec = None
 
+        # --- CIC equalizer (deprecated USRP1/2 path,
+        #     ref: src/DabModulator.cpp:154-176, src/CicEqualizer.cpp) ---
+        self._cic_taps = None
+        if s.cic_eq_clock_rate:
+            ratio = s.cic_eq_clock_rate // s.output_rate // 4
+            use = (ratio & 1) if s.cic_eq_clock_rate == 400_000_000 else True
+            if use and ratio > 0:
+                from ..ops.filters import cic_equalizer_taps
+                taps = cic_equalizer_taps(
+                    p.nb_carriers,
+                    p.spacing * s.output_rate / 2_048_000.0, ratio)
+                self._cic_taps = jnp.asarray(taps)
+
         # --- FIR ---
         if s.filter_taps_file:
             if s.filter_taps_file == "default":
@@ -192,6 +205,8 @@ class Modulator:
         else:
             null_row = jnp.zeros((B, p.nb_carriers, 2), jnp.float32)
         symbols = jnp.concatenate([null_row[:, None], data_syms], axis=1)
+        if self._cic_taps is not None:
+            symbols = symbols * self._cic_taps[None, None, :, None]
 
         bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
         td = ofdm.ofdm_ifft(bins)                          # [B, S, spacing]

@@ -55,6 +55,10 @@ class ModRuntime:
             rcs.add_telnet(settings.rc_telnet_port)
         if settings.rc_zmq_endpoint:
             rcs.add_zmq(settings.rc_zmq_endpoint)
+        if settings.events_endpoint:
+            from .events import EventLogHandler, events
+            events.bind(settings.events_endpoint)
+            logging.getLogger("dabmod_tpu").addHandler(EventLogHandler())
 
     # ------------------------------------------------------------------
     # Remote control surface (ref: the RC_ADD_PARAMETER registrations in
