@@ -165,6 +165,15 @@ class ModRuntime:
                               self.output, "num_clipped_samples", 0))
         rcs.enrol(mod)
 
+        from .io.fic_decoder import FICDecoder
+        self.fic_decoder = FICDecoder()
+        ens = RemoteControllable("ensemble")
+        ens.add_parameter(
+            "info", "(Read-only) decoded ensemble/services information",
+            lambda: __import__("json").dumps(
+                self.fic_decoder.ensemble.to_json()))
+        rcs.enrol(ens)
+
         tist = RemoteControllable("tist")
         tist.add_parameter("offset", "TIST offset [s]",
                            lambda: self.ts_decoder.offset_s,
@@ -315,6 +324,10 @@ class ModRuntime:
                     self.ts_decoder.update_eti(batch.fp[i], batch.mnsc[i],
                                                batch.tist_pps[i],
                                                batch.fct[i])
+
+            # feed the FIC decoder for ensemble info (RC `ensemble info`,
+            # like the reference's showjson on the EDI path)
+            self.fic_decoder.process(batch.fic[0].tobytes())
 
             iq, self.state, stats = self.modulator.modulate_eti(
                 batch, self.state)
