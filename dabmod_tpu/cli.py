@@ -103,6 +103,8 @@ def main(argv=None):
     from .runtime import ModRuntime
     rt = ModRuntime(s)
     code = rt.run()
+    if s.show_process_time:
+        rt.log_process_time()
     rt.output.close()
     logging.getLogger("dabmod_tpu").info(
         "done: %d ETI frames modulated, %d restarts",

@@ -23,6 +23,7 @@ class ModSettings:
     output: str = ""                     # file | zmq | ...
     output_name: str = ""
     file_output_format: str = "complexf"
+    file_output_show_metadata: bool = False
     zmq_output_socket_type: str = "pub"
     output_rate: int = 2_048_000
     cic_eq_clock_rate: int = 0
@@ -152,6 +153,8 @@ def parse_ini(path: str) -> ModSettings:
         s.output = "file"
         s.output_name = get("fileoutput", "filename", "")
         s.file_output_format = get("fileoutput", "format", "complexf")
+        s.file_output_show_metadata = getbool("fileoutput", "show_metadata",
+                                              False)
     if cp.has_section("zmqoutput") and getbool("zmqoutput", "enabled", True) \
             and get("zmqoutput", "listen", None):
         s.output = "zmq"

@@ -51,15 +51,34 @@ def serialize_iq_count(iq: np.ndarray, fmt: str) -> tuple[bytes, int]:
 
 
 class FileOutput:
-    def __init__(self, path: str, fmt: str = "complexf"):
+    def __init__(self, path: str, fmt: str = "complexf",
+                 show_metadata: bool = False):
         self.fmt = fmt
         self.f = open(path, "wb")
         self.num_clipped_samples = 0
+        self.show_metadata = show_metadata
+        self._last_fct = None
 
-    def write(self, iq) -> None:
+    def write(self, iq, metadata=None) -> None:
         data, n_clipped = serialize_iq_count(iq, self.fmt)
         self.num_clipped_samples = n_clipped
         self.f.write(data)
+        if self.show_metadata and metadata is not None:
+            # FCT/TIST continuity display like OutputFile show_metadata
+            # (ref: src/OutputFile.cpp:69-139)
+            import logging
+            import time as _time
+            log = logging.getLogger("dabmod_tpu")
+            fct, ts = metadata
+            if self._last_fct is not None:
+                expected = (self._last_fct + getattr(ts, "fp_step", 4)) % 250
+                if fct != expected:
+                    log.warning("FCT discontinuity in output: %d -> %d",
+                                self._last_fct, fct)
+            self._last_fct = fct
+            if ts is not None and ts.valid:
+                log.info("Frame %d TS %.6f offset to wallclock %.3f",
+                         fct, ts.as_seconds(), ts.as_seconds() - _time.time())
 
     def close(self):
         self.f.close()
@@ -92,7 +111,9 @@ class ZmqOutput:
 
 def open_output(settings):
     if settings.output == "file":
-        return FileOutput(settings.output_name, settings.file_output_format)
+        return FileOutput(settings.output_name, settings.file_output_format,
+                          getattr(settings, "file_output_show_metadata",
+                                  False))
     if settings.output == "zmq":
         return ZmqOutput(settings.output_name,
                          settings.zmq_output_socket_type)

@@ -49,6 +49,8 @@ class ModRuntime:
         self._last_fct = -1
         self._aligned = False
         self._rebuild = False
+        self._t0 = None
+        self._frames_timed = 0
         self.last_stats = {}
         self._enrol_rc()
         if settings.rc_telnet_port:
@@ -333,12 +335,33 @@ class ModRuntime:
                 batch, self.state)
             if stats:
                 self.last_stats = stats
-            self.output.write(np.asarray(iq))
+            try:
+                self.output.write(np.asarray(iq),
+                                  (int(batch.fct[0]),
+                                   self.ts_decoder.timestamp()))
+            except TypeError:
+                self.output.write(np.asarray(iq))
             self.framecount += T
+            if self._t0 is None:
+                self._t0 = time.perf_counter()
+            self._frames_timed += T
             batches_done += 1
             if (self.framecount // max(1, T)) % 64 == 0:
                 rcs.check_faults()
         return RunResult.NORMAL_END
+
+    def log_process_time(self):
+        """Throughput summary, the fused-pipeline analogue of the per-node
+        timing table (ref: src/Flowgraph.cpp:248-267)."""
+        if self._t0 is None or self._frames_timed <= 0:
+            return
+        dt = time.perf_counter() - self._t0
+        if dt <= 0:
+            return
+        frames_s = self._frames_timed / dt
+        log.info("processed %d ETI frames in %.2f s: %.1f frames/s "
+                 "(%.1fx real-time)", self._frames_timed, dt, frames_s,
+                 frames_s * 0.024)
 
     # ------------------------------------------------------------------
     def run(self, max_batches: int | None = None) -> int:

@@ -1,0 +1,110 @@
+"""INI configuration + CLI argument parsing + utils parity tests."""
+import numpy as np
+import pytest
+
+from dabmod_tpu import utils
+from dabmod_tpu.cli import build_settings
+from dabmod_tpu.config import parse_ini
+from dabmod_tpu.ops.ofdm import GAIN_FIX, GAIN_MAX, GAIN_VAR
+
+
+EXAMPLE_INI = """
+[remotecontrol]
+telnet=1
+telnetport=2121
+zmqctrl=1
+zmqctrlendpoint=tcp://127.0.0.1:9400
+
+[log]
+syslog=0
+filelog=0
+show_process_time=1
+
+[input]
+transport=file
+source=test.eti
+loop=1
+
+[modulator]
+gainmode=var
+digital_gain=0.8
+rate=4096000
+mode=2
+ofdmwindowing=90
+normalise_variance=3.0
+
+[cfr]
+enable=1
+clip=40.0
+errorclip=3.0
+
+[firfilter]
+enabled=1
+filtertapsfile=default
+
+[tii]
+enable=1
+comb=3
+pattern=42
+
+[fileoutput]
+filename=out.iq
+format=s16
+show_metadata=1
+
+[delaymanagement]
+synchronous=1
+offset=2.5
+"""
+
+
+def test_parse_ini(tmp_path):
+    p = tmp_path / "cfg.ini"
+    p.write_text(EXAMPLE_INI)
+    s = parse_ini(str(p))
+    assert s.rc_telnet_port == 2121
+    assert s.rc_zmq_endpoint == "tcp://127.0.0.1:9400"
+    assert s.input_name == "test.eti" and s.loop
+    assert s.gain_mode == GAIN_VAR and s.digital_gain == 0.8
+    assert s.gain_mode_variance == 3.0
+    assert s.output_rate == 4_096_000
+    assert s.dab_mode == 2
+    assert s.ofdm_window_overlap == 90
+    assert s.enable_cfr and s.cfr_clip == 40.0 and s.cfr_error_clip == 3.0
+    assert s.filter_taps_file == "default"
+    assert s.tii_enable and s.tii_comb == 3 and s.tii_pattern == 42
+    assert s.output == "file" and s.output_name == "out.iq"
+    assert s.file_output_format == "s16"
+    assert s.file_output_show_metadata
+    assert s.tist_enabled and s.tist_offset == 2.5
+    # s16 output fixes the normalisation (ref: src/DabMod.cpp:271-276)
+    assert abs(s.normalise - 32767.0 / 50000.0) < 1e-9
+
+
+def test_cli_flags():
+    s = build_settings(["in.eti", "-f", "o.iq", "-F", "u8", "-m", "4",
+                        "-g", "fix", "-a", "0.5", "-r", "2048000", "-l"])
+    assert s.input_name == "in.eti" and s.loop
+    assert s.output == "file" and s.file_output_format == "u8"
+    assert s.dab_mode == 4 and s.gain_mode == GAIN_FIX
+    assert s.digital_gain == 0.5
+    assert abs(s.normalise - 127.0 / 50000.0) < 1e-9
+
+
+def test_cli_single_config_arg(tmp_path):
+    p = tmp_path / "cfg.ini"
+    p.write_text(EXAMPLE_INI)
+    s = build_settings([str(p)])
+    assert s.input_name == "test.eti"
+    assert s.output_name == "out.iq"
+
+
+def test_channel_table():
+    assert utils.parse_channel("5A") == 174_928_000
+    assert utils.parse_channel("13F") == 239_200_000
+    assert utils.convert_frequency_to_channel(227_360_000) == "12C"
+    assert utils.convert_frequency_to_channel(1) is None
+    with pytest.raises(ValueError):
+        utils.parse_channel("99Z")
+    assert utils.transmission_frame_duration_ms(1) == 96
+    assert utils.transmission_frame_duration_ms(3) == 24
