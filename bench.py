@@ -29,7 +29,7 @@ def main():
     from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
     from dabmod_tpu.models import Modulator, make_default_layout
 
-    batch_tf = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    batch_tf = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     # a representative ensemble: 2 sub-channels (EEP-A3 64 kbit/s + UEP
     # 128 kbit/s level 3), TM-I, default var gain -- BASELINE configs[0]
     specs = ((0, 24, 0x22), (48, 48, 0x02))
@@ -59,12 +59,13 @@ def main():
     iq, state, _ = step(staged[0][0], staged[0][1], state, cg, vk)
     iq.block_until_ready()
 
-    # calibrate iteration count to ~3 s
+    # calibrate iteration count to ~6 s (long window smooths tunnel jitter)
     t0 = time.perf_counter()
-    iq, state, _ = step(staged[1][0], staged[1][1], state, cg, vk)
+    for _ in range(4):
+        iq, state, _ = step(staged[1][0], staged[1][1], state, cg, vk)
     iq.block_until_ready()
-    per_step = time.perf_counter() - t0
-    iters = max(3, min(200, int(3.0 / max(per_step, 1e-4))))
+    per_step = (time.perf_counter() - t0) / 4
+    iters = max(10, min(3000, int(6.0 / max(per_step, 1e-4))))
 
     t0 = time.perf_counter()
     for i in range(iters):
