@@ -40,28 +40,20 @@ def fir_filter(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def fir_filter_matmul(x: jnp.ndarray, taps: jnp.ndarray,
-                      block: int = 512) -> jnp.ndarray:
-    """MXU formulation of the FIR: blocks of the signal times a banded
-    [block+ntaps-1, block] tap matrix."""
+def fir_filter_matmul(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """FIR via lax.conv (cross-correlation, which matches the reference's
+    forward-looking out[n] = sum_j in[n+j]*taps[j]); the I/Q pair axis is a
+    depthwise feature group.  x: [B, N, 2]."""
     ntaps = taps.shape[0]
     n = x.shape[-2]
-    nblocks = -(-n // block)
-    pad_to = nblocks * block
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2)
-                 + [(0, pad_to - n + ntaps - 1), (0, 0)])
-    idx = (np.arange(nblocks)[:, None] * block
-           + np.arange(block + ntaps - 1)[None, :])
-    windows = xp[..., idx, :]                    # [..., nb, blk+ntaps-1, 2]
-    k = np.arange(block + ntaps - 1)[:, None]
-    o = np.arange(block)[None, :]
-    band = np.where((k - o >= 0) & (k - o < ntaps), 1.0, 0.0)
-    tap_mat = jnp.asarray(band, jnp.float32) * taps[
-        jnp.clip(jnp.asarray(k - o), 0, ntaps - 1)]
-    out = jnp.einsum("...bkc,ko->...boc", windows, tap_mat,
-                     precision=_PRECISION)
-    out = out.reshape(*x.shape[:-2], pad_to, 2)
-    return out[..., :n, :]
+    lhs = jnp.moveaxis(x, -1, -2)                 # [B, 2, N]
+    kernel = jnp.broadcast_to(taps, (2, 1, ntaps))
+    out = jax.lax.conv_general_dilated(
+        lhs, kernel, window_strides=(1,),
+        padding=[(0, ntaps - 1)],                 # truncate at the TF end
+        feature_group_count=2,
+        precision=_PRECISION)
+    return jnp.moveaxis(out[..., :n], -2, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -108,10 +100,11 @@ def resample(x: jnp.ndarray, plan: ResamplerPlan,
     """
     hi, ho = plan.fft_in // 2, plan.fft_out // 2
     n_blocks = x.shape[0] // hi
-    xp = jnp.concatenate([in_tail, x], axis=0)
-    idx = (np.arange(n_blocks)[:, None] * hi
-           + np.arange(plan.fft_in)[None, :])
-    frames = xp[idx] * jnp.asarray(plan.window)[None, :, None]
+    xp = jnp.concatenate([in_tail, x], axis=0)    # [(nb+1)*hi, 2]
+    # 50%-overlapped frames as two shifted reshapes (no gather)
+    frames = jnp.concatenate(
+        [xp[:-hi].reshape(n_blocks, hi, 2), xp[hi:].reshape(n_blocks, hi, 2)],
+        axis=1) * jnp.asarray(plan.window)[None, :, None]
     spec = fft_pairs(frames)
     if plan.fft_out > plan.fft_in:
         upper = spec[:, hi:]
