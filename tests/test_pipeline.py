@@ -130,3 +130,23 @@ def test_cfr_reduces_papr():
     p_with = float(papr_db(jnp.asarray(iq[:, 2656:]).reshape(-1, 2), axis=0))
     p_without = float(papr_db(jnp.asarray(iq2[:, 2656:]).reshape(-1, 2), axis=0))
     assert p_with < p_without
+
+
+@pytest.mark.parametrize("mode", [2, 3])
+def test_frontend_matches_reference_other_modes(mode):
+    """Modes 2/3 front end (incl. mode-3 128-byte FIC / 153 symbols) against
+    the reference chain."""
+    layout = make_default_layout(mode, subch_specs=((0, 24, 0x22),))
+    m = Modulator(layout, ModSettings(dab_mode=mode))
+    p = tables.mode_params(mode)
+
+    fic = load(f"e2e_m{mode}_fic_in").reshape(2, p.fic_size_in)
+    sub = load(f"e2e_m{mode}_sub_in").reshape(2, -1)
+    expect = load(f"e2e_m{mode}_symbols").reshape(2, p.nb_symbols,
+                                                  p.nb_carriers)
+
+    hist = tuple(jnp.zeros((15, int(mm.shape[1])), jnp.int32)
+                 for mm in m._subch_masks)
+    syms, _ = m.frontend(fic, (sub,), hist)
+    got = cplx.to_complex(syms)
+    np.testing.assert_allclose(got, expect, atol=4e-6)

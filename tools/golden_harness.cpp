@@ -252,7 +252,87 @@ int main(int argc, char** argv) {
         }
     }
 
-    // ---- End-to-end front end: ETI payloads -> diff-mod symbol stream ----
+    // ---- End-to-end front ends: ETI payloads -> diff-mod symbol stream ----
+    // Modes 2 and 3, one EEP-A3 64kbps sub-channel, 2 ETI frames = 2 TFs.
+    for (unsigned mode : {2u, 3u}) {
+        const unsigned mid = mode;          // ETI MID == mode for 2,3
+        const size_t carriers = (mode == 2) ? 384 : 192;
+        const size_t fic_in = (mid == 3) ? 128 : 96;
+        FakeEtiSource src;
+        src.m_subs.push_back(std::make_shared<SubchannelSource>(0, 24, 0x22));
+
+        PrbsGenerator ficPrbs(fic_in, 0x110);
+        ConvEncoder ficConv(fic_in);
+        PuncturingEncoder ficPunct;
+        FicSource fic(1, mid);
+        for (const auto& r : fic.get_rules()) ficPunct.append_rule(r);
+        ficPunct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+
+        auto& sub = src.m_subs[0];
+        PrbsGenerator sPrbs(sub->framesize(), 0x110);
+        ConvEncoder sConv(sub->framesize());
+        PuncturingEncoder sPunct(sub->framesizeCu());
+        for (const auto& r : sub->get_rules()) sPunct.append_rule(r);
+        sPunct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+        TimeInterleaver ti(sub->framesizeCu() * 8);
+
+        PrbsGenerator cifPrbs(864 * 8, 0x110);
+        FrameMultiplexer mux(src);
+        BlockPartitioner part(mode);
+        QpskSymbolMapper map(carriers, false);
+        FrequencyInterleaver freq(mode, false);
+        PhaseReference pref(mode, false);
+        DifferentialModulator diff(carriers, false);
+
+        std::vector<uint8_t> all_fic, all_sub;
+        std::vector<complexf> all_syms;
+        Buffer tfblock;
+        for (int frame = 0; frame < 2; frame++) {
+            Buffer ficIn, t1, t2, ficOut;
+            fill_bytes(ficIn, fic_in);
+            { const uint8_t* p = (const uint8_t*)ficIn.getData();
+              all_fic.insert(all_fic.end(), p, p + fic_in); }
+            ficPrbs.process({&ficIn}, {&t1});
+            ficConv.process(&t1, &t2);
+            ficPunct.process(&t2, &ficOut);
+
+            Buffer in, a, b2, c, tiOut;
+            fill_bytes(in, sub->framesize());
+            { const uint8_t* p = (const uint8_t*)in.getData();
+              all_sub.insert(all_sub.end(), p, p + in.getLength()); }
+            sPrbs.process({&in}, {&a});
+            sConv.process(&a, &b2);
+            sPunct.process(&b2, &c);
+            ti.process(&c, &tiOut);
+
+            Buffer filler, cif;
+            cifPrbs.process({}, {&filler});
+            std::vector<Buffer*> muxIn{&filler, &tiOut};
+            mux.process(muxIn, &cif);
+
+            std::vector<Buffer*> partIn{&ficOut, &cif};
+            int full = part.process(partIn, &tfblock);
+            if (full) {
+                Buffer mapped, interleaved, ref, symbols;
+                map.process(&tfblock, &mapped);
+                freq.process(&mapped, &interleaved);
+                pref.process(&ref);
+                std::vector<Buffer*> diffIn{&ref, &interleaved};
+                diff.process(diffIn, &symbols);
+                const complexf* p = (const complexf*)symbols.getData();
+                all_syms.insert(all_syms.end(),
+                                p, p + symbols.getLength() / sizeof(complexf));
+            }
+        }
+        std::string sm = std::to_string(mode);
+        dump("e2e_m" + sm + "_fic_in", "u8", all_fic.data(), all_fic.size(),
+             all_fic.size());
+        dump("e2e_m" + sm + "_sub_in", "u8", all_sub.data(), all_sub.size(),
+             all_sub.size());
+        dump("e2e_m" + sm + "_symbols", "c8", all_syms.data(),
+             all_syms.size() * sizeof(complexf), all_syms.size());
+    }
+
     // Mode 1, two sub-channels: EEP-A3 64kbps @CU0 (48 CU) and UEP 128kbps
     // level 3 @CU48.  8 ETI frames = 2 transmission frames.
     {
