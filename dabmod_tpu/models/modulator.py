@@ -226,7 +226,9 @@ class Modulator:
         if self.settings.ofdm_window_overlap == 0:
             iq = ofdm.guard_interval_unwindowed(td, p.null_size, p.sym_size)
         else:
-            iq = ofdm.guard_interval(td, self._gi)         # [B, tf_samples, 2]
+            iq = ofdm.guard_interval_windowed(
+                td, p.null_size, p.sym_size,
+                self.settings.ofdm_window_overlap)         # [B, tf_samples, 2]
 
         if self._fir_taps is not None:
             iq = filters.fir_filter_matmul(iq, self._fir_taps)

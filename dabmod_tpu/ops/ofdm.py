@@ -195,6 +195,59 @@ def guard_interval_unwindowed(symbols: jnp.ndarray, null_size: int,
     return jnp.concatenate([null, data], axis=-2)
 
 
+def guard_interval_windowed(symbols: jnp.ndarray, null_size: int,
+                            sym_size: int, ov: int) -> jnp.ndarray:
+    """Gather-free raised-cosine windowed guard-interval insertion
+    (ref: src/GuardIntervalInserter.cpp:96-299).
+
+    Output decomposes into per-symbol blocks whose overlap regions are sums
+    of two weighted slices shifted by one symbol -- all expressible as
+    batched slices over the symbol axis.  symbols: [B, S, spacing, 2] with
+    S = nb_symbols + 1 (NULL first).
+    """
+    B, S, sp, _ = symbols.shape
+    pre = sym_size - sp
+    npre = null_size - sp
+    win = 0.5 * (1.0 - np.cos(np.pi * np.arange(2 * ov) / (2 * ov - 1)))
+    win = win.astype(np.float32)
+    rise1 = jnp.asarray(win[:ov])[:, None]          # 0 -> 0.5
+    rise2 = jnp.asarray(win[ov:2 * ov])[:, None]    # 0.5 -> 1
+    fall1 = jnp.asarray(win[2 * ov - 1:ov - 1:-1])[:, None]   # 1 -> 0.5
+    fall2 = jnp.asarray(win[ov - 1::-1])[:, None]   # 0.5 -> 0
+
+    data = symbols[:, 1:]                           # [B, S-1, sp, 2]
+    # per-data-symbol pieces
+    head_rise = data[:, :, 2 * sp - sym_size:2 * sp - sym_size + ov] * rise2
+    # suffix of the previous symbol (NULL for s=1)
+    prev = symbols[:, :-1]
+    head_suffix = prev[:, :, :ov] * fall2
+    head = head_rise + head_suffix                  # [B, S-1, ov, 2]
+
+    mid_prefix = data[:, :, 2 * sp - sym_size + ov:sp]
+    body = data[:, :, :sp - ov]
+
+    # tail: own falling edge + next symbol's first rise half; the last
+    # symbol keeps its unwindowed tail (no successor)
+    tail_fall = data[:, :-1, sp - ov:] * fall1
+    next_rise = data[:, 1:, 2 * sp - sym_size - ov:2 * sp - sym_size] * rise1
+    tails = jnp.concatenate(
+        [tail_fall + next_rise, data[:, -1:, sp - ov:]], axis=1)
+
+    blocks = jnp.concatenate([head, mid_prefix, body, tails], axis=2)
+    assert blocks.shape[2] == sym_size
+
+    # NULL symbol block: plain prefix + body, own falling edge + first data
+    # symbol's rise first half on the last ov samples
+    null = symbols[:, 0]
+    null_tail = null[:, sp - ov:] * fall1 \
+        + data[:, 0, 2 * sp - sym_size - ov:2 * sp - sym_size] * rise1
+    null_block = jnp.concatenate(
+        [null[:, sp - npre:], null[:, :sp - ov], null_tail], axis=1)
+
+    return jnp.concatenate(
+        [null_block, blocks.reshape(B, -1, 2)], axis=1)
+
+
 def guard_interval(symbols: jnp.ndarray, gi_tables) -> jnp.ndarray:
     """[..., S, spacing, 2] -> [..., tf_samples, 2] via the static
     overlap-add tables from tables.guard_interval_tables."""

@@ -133,3 +133,15 @@ def test_bin_map_tm1():
     assert np.all(valid[1:769]) and np.all(src[1:769] == np.arange(768))
     assert not np.any(valid[769:1280])
     assert np.all(valid[1280:]) and np.all(src[1280:] == np.arange(768, 1536))
+
+
+def test_guard_interval_windowed_slices():
+    """The gather-free windowed GI must equal the golden-validated
+    table-based implementation."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 77, 2048, 2)).astype(np.float32)
+    gi = tuple(jnp.asarray(a) for a in tables.guard_interval_tables(1, 90))
+    ref = np.asarray(ofdm.guard_interval(jnp.asarray(x), gi))
+    got = np.asarray(ofdm.guard_interval_windowed(jnp.asarray(x),
+                                                  2656, 2552, 90))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
