@@ -56,6 +56,7 @@ class ModSettings:
     rc_zmq_endpoint: str = ""            # "" disables
     # events
     events_endpoint: str = ""            # ZMQ PUB endpoint for events
+    log_trace_file: str = ""             # microsecond-stamped trace file
     # runtime / batching (TPU-native additions)
     batch_tf: int = 16                   # transmission frames per device step
     fft_precision: str = "high"          # MXU precision: default|high|highest
@@ -117,6 +118,7 @@ def parse_ini(path: str) -> ModSettings:
     if getbool("remotecontrol", "zmqctrl", False):
         s.rc_zmq_endpoint = get("remotecontrol", "zmqctrlendpoint", "")
     s.events_endpoint = get("log", "events_endpoint", "") or ""
+    s.log_trace_file = get("log", "trace", "") or ""
 
     s.input_transport = get("input", "transport", "file")
     s.input_name = get("input", "source", "/dev/stdin")

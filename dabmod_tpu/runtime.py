@@ -61,6 +61,9 @@ class ModRuntime:
             from .events import EventLogHandler, events
             events.bind(settings.events_endpoint)
             logging.getLogger("dabmod_tpu").addHandler(EventLogHandler())
+        # LogTracer-style breadcrumb file (ref: lib/Log.h:103-117)
+        self._trace = open(settings.log_trace_file, "a") \
+            if settings.log_trace_file else None
 
     # ------------------------------------------------------------------
     # Remote control surface (ref: the RC_ADD_PARAMETER registrations in
@@ -331,6 +334,7 @@ class ModRuntime:
             # like the reference's showjson on the EDI path)
             self.fic_decoder.process(batch.fic[0].tobytes())
 
+            self._tracepoint("modulate,start %d" % T)
             iq, self.state, stats = self.modulator.modulate_eti(
                 batch, self.state)
             if stats:
@@ -341,6 +345,7 @@ class ModRuntime:
                                    self.ts_decoder.timestamp()))
             except TypeError:
                 self.output.write(np.asarray(iq))
+            self._tracepoint("output,write %d" % T)
             self.framecount += T
             if self._t0 is None:
                 self._t0 = time.perf_counter()
@@ -349,6 +354,10 @@ class ModRuntime:
             if (self.framecount // max(1, T)) % 64 == 0:
                 rcs.check_faults()
         return RunResult.NORMAL_END
+
+    def _tracepoint(self, msg: str):
+        if self._trace is not None:
+            self._trace.write("%d,%s\n" % (time.monotonic_ns() // 1000, msg))
 
     def log_process_time(self):
         """Throughput summary, the fused-pipeline analogue of the per-node

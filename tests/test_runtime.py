@@ -125,3 +125,73 @@ def test_timestamp_pps_wraparound():
     td.update_eti(1, 0x8000, pps=100_000, fct=1)   # wrapped
     assert td.time_secs == secs0 + 1
     assert td.inhibit_second_update == 2
+
+
+def test_edi_udp_end_to_end(tmp_path):
+    """EDI over UDP into the runtime: encode frames, send as datagrams,
+    modulate, compare against the same payload over the ETI file path."""
+    import socket as socklib
+    import threading
+    import time as timelib
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.io.edi import build_af_packet, encode_edi_frame
+    from dabmod_tpu.runtime import ModRuntime
+
+    rng = np.random.default_rng(21)
+    n_frames = 8
+    payloads = []
+    for t in range(n_frames):
+        fic = rng.integers(0, 256, 96, dtype=np.uint8).tobytes()
+        subs = [(0, 0, 0x22,
+                 rng.integers(0, 256, 192, dtype=np.uint8).tobytes())]
+        payloads.append((fic, subs, t))
+
+    port = 39831
+    s = ModSettings(input_name=f"udp://127.0.0.1:{port}",
+                    input_transport="edi",
+                    output="file", output_name=str(tmp_path / "edi.iq"),
+                    file_output_format="complexf", batch_tf=1)
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+
+    def sender():
+        timelib.sleep(0.3)
+        sock = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+        for seq, (fic, subs, dlfc) in enumerate(payloads):
+            af = build_af_packet(
+                encode_edi_frame(fic, subs, dlfc,
+                                 timestamp=(0, 800_000_000 + dlfc, 5000)),
+                seq)
+            sock.sendto(af, ("127.0.0.1", port))
+            timelib.sleep(0.01)
+        sock.close()
+
+    t = threading.Thread(target=sender)
+    t.start()
+    rt.run_batches(max_batches=2)
+    t.join()
+    data = np.fromfile(tmp_path / "edi.iq", np.float32)
+    assert data.size == 2 * 196608 * 2
+    # EDI timestamps reached the decoder (epoch conversion applied)
+    assert rt.ts_decoder.full_timestamp_received
+    assert rt.ts_decoder.time_secs > 1_700_000_000
+
+    # same payload through the ETI file path must give identical output
+    from dabmod_tpu.eti import build_eti_frame
+    from dabmod_tpu.models import make_default_layout
+    layout = make_default_layout(1, subch_specs=((0, 24, 0x22),))
+    frames = np.stack([
+        build_eti_frame(layout, fct=t, fic=np.frombuffer(fic, np.uint8),
+                        subch_data=[np.frombuffer(subs[0][3], np.uint8)],
+                        fp=t % 8, tist=5000)
+        for (fic, subs, t) in payloads])
+    p2 = tmp_path / "ref.eti"
+    p2.write_bytes(frames.tobytes())
+    s2 = ModSettings(input_name=str(p2), output="file",
+                     output_name=str(tmp_path / "ref.iq"),
+                     file_output_format="complexf", batch_tf=1)
+    s2.normalise_for_output()
+    rt2 = ModRuntime(s2)
+    rt2.run()
+    ref = np.fromfile(tmp_path / "ref.iq", np.float32)
+    np.testing.assert_array_equal(data, ref[:data.size])
