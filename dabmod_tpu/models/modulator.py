@@ -231,7 +231,7 @@ class Modulator:
                 self.settings.ofdm_window_overlap)         # [B, tf_samples, 2]
 
         if self._fir_taps is not None:
-            iq = filters.fir_filter_matmul(iq, self._fir_taps)
+            iq = filters.fir_filter(iq, self._fir_taps)
 
         new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B}
