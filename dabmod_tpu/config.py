@@ -27,6 +27,14 @@ class ModSettings:
     zmq_output_socket_type: str = "pub"
     output_rate: int = 2_048_000
     cic_eq_clock_rate: int = 0
+    # SDR outputs (common SDRDeviceConfig subset, src/output/SDRDevice.h)
+    sdr_device_args: str = ""
+    sdr_frequency: float = 0.0
+    sdr_txgain: float = 0.0
+    sdr_rxgain: float = 0.0
+    sdr_lo_offset: float = 0.0
+    sdr_dpd_port: int = 0
+    sdr_mute_no_timestamps: bool = False
     # modulator
     dab_mode: int = 0                    # 0 = derive from ETI MID
     digital_gain: float = 1.0
@@ -82,7 +90,7 @@ class ModSettings:
                 self.normalise = 127.0 / tables.NORMALISE_FACTOR_SDR
             else:
                 raise ValueError(f"unknown file output format {fmt}")
-        elif self.output in ("zmq", "uhd", "soapy", "lime"):
+        elif self.output in ("zmq", "uhd", "soapy", "lime", "loopback"):
             self.normalise = 1.0 / tables.NORMALISE_FACTOR_SDR
         elif self.output == "bladerf":
             self.normalise = 2047.0 / tables.NORMALISE_FACTOR_SDR
@@ -162,6 +170,27 @@ def parse_ini(path: str) -> ModSettings:
         s.output = "zmq"
         s.output_name = get("zmqoutput", "listen")
         s.zmq_output_socket_type = get("zmqoutput", "socket_type", "pub")
+
+    # SDR outputs: [uhdoutput]/[soapyoutput]/... sections share the common
+    # SDRDeviceConfig keys (ref: src/ConfigParser.cpp:308-477,
+    # doc/example.ini uhdoutput section)
+    for name in ("uhd", "soapy", "lime", "bladerf", "dexter", "loopback"):
+        sec = name + "output"
+        if cp.has_section(sec) and getbool(sec, "enabled", True):
+            s.output = name
+            s.sdr_device_args = get(sec, "device", "")
+            chan = get(sec, "channel", None)
+            if chan:
+                from .utils import parse_channel
+                s.sdr_frequency = parse_channel(chan)
+            s.sdr_frequency = getfloat(sec, "frequency", s.sdr_frequency)
+            s.sdr_txgain = getfloat(sec, "txgain", 0.0)
+            s.sdr_rxgain = getfloat(sec, "rxgain", 0.0)
+            s.sdr_lo_offset = getfloat(sec, "lo_offset", 0.0)
+            s.sdr_dpd_port = getint(sec, "dpd_port", 0)
+            s.sdr_mute_no_timestamps = getbool(sec, "mute_no_timestamps",
+                                               False)
+            break
 
     s.tist_enabled = getbool("delaymanagement", "synchronous", False)
     s.tist_offset = getfloat("delaymanagement", "offset", 0.0)

@@ -18,7 +18,9 @@ import time
 import numpy as np
 
 from . import Adapt, ExtractStatistic, Measure, Poly
+from .heuristics import get_learning_rate
 from .measure import normalise_rx, phase_align
+from .model_lut import Lut
 
 log = logging.getLogger("dpdce")
 
@@ -26,28 +28,45 @@ log = logging.getLogger("dpdce")
 def run_engine(rc_endpoint: str, feedback_host: str, feedback_port: int,
                iterations: int = 10, samples_per_burst: int = 40960,
                coef_path: str = "/tmp/dabmod_tpu_poly.coef",
-               learning_rate: float = 0.5,
-               sleep_s: float = 0.1) -> Poly:
+               learning_rate: float | None = None,
+               sleep_s: float = 0.1, model_kind: str = "poly"):
+    """Closed adaptation loop.  `model_kind` selects the polynomial or
+    LUT predistorter; with learning_rate=None the reference's annealing
+    schedule (Heuristics.get_learning_rate) is used."""
     measure = Measure(feedback_host, feedback_port, samples_per_burst)
     adapt = Adapt(rc_endpoint, coef_path)
-    model = Poly(learning_rate_am=learning_rate,
-                 learning_rate_pm=learning_rate)
+    fixed_lr = learning_rate
+    model = (Lut(learning_rate=fixed_lr or 1.0) if model_kind == "lut"
+             else Poly(learning_rate_am=fixed_lr or 0.4,
+                       learning_rate_pm=fixed_lr or 0.4))
 
     for i in range(iterations):
+        lr = fixed_lr if fixed_lr is not None else get_learning_rate(i)
         tx, tx_ts, rx, rx_ts = measure.get_samples()
-        if tx.size == 0:
-            log.warning("empty burst, retrying")
+        if tx.size == 0 or not (np.all(np.isfinite(tx))
+                                and np.all(np.isfinite(rx))
+                                and np.any(rx)):
+            log.warning("empty/invalid burst, retrying")
             time.sleep(sleep_s)
             continue
         peak = float(np.abs(tx).max()) or 1.0
         txn, rxn = tx / peak, rx / peak
         rxn = phase_align(txn, normalise_rx(txn, rxn))
+        if model_kind == "lut":
+            model.learning_rate = lr
+            model.train(txn, rxn)
+            adapt.set_predistorter(model.get_dpd_data())
+            resid = float(np.mean(np.abs(model.apply(txn) - txn) ** 2))
+            log.info("iteration %d: lut residual %.3e", i, resid)
+            time.sleep(sleep_s)
+            continue
         es = ExtractStatistic(peak_amplitude=1.0)
         tx_avg, rx_avg, ph = es.extract(txn, rxn)
         if tx_avg.size < 8:
             log.warning("iteration %d: not enough bins (%d)", i, tx_avg.size)
             time.sleep(sleep_s)
             continue
+        model.learning_rate_am = model.learning_rate_pm = lr
         model.train(tx_avg, rx_avg, ph)
         adapt.set_predistorter(model.get_dpd_data())
         resid = float(np.mean((model.am_am(rx_avg) - tx_avg) ** 2))
@@ -66,10 +85,13 @@ def main(argv=None):
     ap.add_argument("--feedback-port", type=int, default=50055)
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--samples", type=int, default=40960)
-    ap.add_argument("--lr", type=float, default=0.5)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="fixed learning rate (default: annealing schedule)")
+    ap.add_argument("--model", choices=("poly", "lut"), default="poly")
     args = ap.parse_args(argv)
     run_engine(args.rc, args.feedback_host, args.feedback_port,
-               args.iterations, args.samples, learning_rate=args.lr)
+               args.iterations, args.samples, learning_rate=args.lr,
+               model_kind=args.model)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,19 @@ class Measure:
         rx_ts = rx_second + rx_pps / 16_384_000.0
         return tx, tx_ts, rx, rx_ts
 
+    def get_samples_aligned(self):
+        """One burst, integer/fractional/phase aligned, with the medians
+        the AGC loops need (ref: python/dpd/Measure.py:87-114 returns
+        (txframe_aligned, tx_ts, rxframe_aligned, rx_ts, rx_median,
+        tx_median))."""
+        from .align import align_tx_rx
+
+        tx, tx_ts, rx, rx_ts = self.get_samples()
+        tx_median = float(np.median(np.abs(tx))) if tx.size else 0.0
+        rx_median = float(np.median(np.abs(rx))) if rx.size else 0.0
+        tx_a, rx_a = align_tx_rx(tx, rx)
+        return tx_a, tx_ts, rx_a, rx_ts, rx_median, tx_median
+
 
 def phase_align(tx: np.ndarray, rx: np.ndarray) -> np.ndarray:
     """Remove the bulk phase rotation between rx and tx

@@ -117,4 +117,29 @@ def open_output(settings):
     if settings.output == "zmq":
         return ZmqOutput(settings.output_name,
                          settings.zmq_output_socket_type)
+    if settings.output in ("uhd", "soapy", "lime", "bladerf", "dexter",
+                           "loopback"):
+        return open_sdr_output(settings)
     raise ValueError(f"unsupported output {settings.output!r}")
+
+
+def open_sdr_output(settings):
+    """Construct the async SDR sink over the configured device driver
+    (ref: src/DabMod.cpp:250-363 prepare_output SDR branches).  The
+    hardware drivers raise when their vendor library is absent; the
+    `loopback` device closes the DPD feedback loop without hardware."""
+    from . import sdr
+
+    drivers = {"uhd": sdr.UhdDevice, "soapy": sdr.SoapyDevice,
+               "lime": sdr.LimeDevice, "bladerf": sdr.BladeRFDevice,
+               "dexter": sdr.DexterDevice,
+               "loopback": sdr.LoopbackSdrDevice}
+    device = drivers[settings.output]()
+    device.set_txgain(settings.sdr_txgain)
+    device.set_rxgain(settings.sdr_rxgain)
+    if settings.sdr_frequency:
+        device.tune(settings.sdr_lo_offset, settings.sdr_frequency)
+    return sdr.SdrOutput(device, sync=settings.tist_enabled,
+                         sample_rate=settings.output_rate,
+                         feedback_port=settings.sdr_dpd_port,
+                         mute=False)

@@ -34,8 +34,26 @@ FRAMES_MAX_SIZE_SYNC = 250
 class SdrDevice:
     """Interface mirror of src/output/SDRDevice.h:113-146."""
 
+    txgain: float = 0.0
+    rxgain: float = 0.0
+    frequency: float = 0.0
+    lo_offset: float = 0.0
+
     def tune(self, lo_offset: float, frequency: float):
         raise NotImplementedError
+
+    # gain accessors (ref: src/output/SDRDevice.h:117-121)
+    def set_txgain(self, gain: float):
+        self.txgain = float(gain)
+
+    def get_txgain(self) -> float:
+        return self.txgain
+
+    def set_rxgain(self, gain: float):
+        self.rxgain = float(gain)
+
+    def get_rxgain(self) -> float:
+        return self.rxgain
 
     def transmit_frame(self, samples: np.ndarray, ts: FrameTimestamp | None):
         raise NotImplementedError
@@ -74,7 +92,9 @@ class FileSdrDevice(SdrDevice):
 
 class LoopbackSdrDevice(SdrDevice):
     """Keeps the last transmitted frames and 'receives' them through an
-    optional PA model -- the closed-loop test double for the DPD engine."""
+    optional PA model -- the closed-loop test double for the DPD engine.
+    RX/TX gains scale the loopback linearly relative to 0 dB so the AGC
+    loops observe a real effect."""
 
     def __init__(self, pa_model=None, history_frames: int = 4):
         self.pa_model = pa_model or (lambda x: x)
@@ -83,7 +103,7 @@ class LoopbackSdrDevice(SdrDevice):
         self.frames_transmitted = 0
 
     def tune(self, lo_offset, frequency):
-        pass
+        self.lo_offset, self.frequency = lo_offset, frequency
 
     def transmit_frame(self, samples, ts):
         self._history.append((np.asarray(samples), ts))
@@ -91,14 +111,23 @@ class LoopbackSdrDevice(SdrDevice):
         self.frames_transmitted += 1
 
     def receive_frame(self, num_samples, ts):
-        for samples, fts in self._history:
-            if fts is not None and ts is not None \
-                    and fts.seconds == ts.seconds and fts.pps == ts.pps:
-                flat = samples.reshape(-1, 2)
-                sel = flat[:num_samples]
-                rx = self.pa_model(sel[:, 0] + 1j * sel[:, 1])
-                return np.stack([rx.real, rx.imag], -1).astype(np.float32), ts
-        return np.zeros((num_samples, 2), np.float32), ts
+        # the requested frame may still be queued ahead of the device
+        # thread; wait briefly for it to be "transmitted" (a real SDR's
+        # timed RX waits for the burst the same way)
+        deadline = time.time() + 2.0
+        while True:
+            for samples, fts in self._history:
+                if fts is not None and ts is not None \
+                        and fts.seconds == ts.seconds and fts.pps == ts.pps:
+                    flat = samples.reshape(-1, 2)
+                    sel = flat[:num_samples]
+                    gain = 10.0 ** ((self.txgain + self.rxgain) / 20.0)
+                    rx = self.pa_model(sel[:, 0] + 1j * sel[:, 1]) * gain
+                    return (np.stack([rx.real, rx.imag], -1)
+                            .astype(np.float32), ts)
+            if time.time() >= deadline:
+                return np.zeros((num_samples, 2), np.float32), ts
+            time.sleep(0.02)
 
     def get_run_statistics(self):
         return {"frames": self.frames_transmitted}
@@ -155,7 +184,9 @@ class SdrOutput:
         self._thread.start()
 
     # -- modulator-thread side --------------------------------------------
-    def write(self, iq, ts: FrameTimestamp | None = None):
+    def write(self, iq, ts=None):
+        if isinstance(ts, tuple):   # runtime metadata is (fct, timestamp)
+            ts = ts[1]
         frame = np.asarray(iq)
         if self.feedback_server is not None and ts is not None:
             self.feedback_server.set_tx_frame(frame, ts)

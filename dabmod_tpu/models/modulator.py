@@ -116,13 +116,18 @@ class Modulator:
             self._res_plan = None
 
         # --- DPD ---
+        self._poly_am = self._poly_pm = None
+        self._lut = self._lut_scale = None
         if s.poly_coef_file:
-            am, pm = load_poly_coefs(s.poly_coef_file)
-            self._poly_am = jnp.asarray(am)
-            self._poly_pm = jnp.asarray(pm)
-        else:
-            self._poly_am = None
-            self._poly_pm = None
+            kind, data = load_dpd_file(s.poly_coef_file)
+            if kind == "poly":
+                am, pm = data
+                self._poly_am = jnp.asarray(am)
+                self._poly_pm = jnp.asarray(pm)
+            else:
+                scalefactor, lut = data
+                self._lut = jnp.asarray(lut)
+                self._lut_scale = float(scalefactor)
 
         self._modulate = jax.jit(self._modulate_impl, donate_argnums=(2,))
 
@@ -247,6 +252,8 @@ class Modulator:
 
         if self._poly_am is not None:
             iq = filters.memless_poly(iq, self._poly_am, self._poly_pm)
+        elif self._lut is not None:
+            iq = filters.memless_lut(iq, self._lut, self._lut_scale)
 
         return iq, new_state, stats
 
@@ -287,15 +294,32 @@ def load_fir_taps(path: str) -> np.ndarray:
 
 
 def load_poly_coefs(path: str):
-    """DPD coefficient file, format indicator 1 = poly with 2x5 coefs
-    (ref: src/MemlessPoly.cpp:150-232)."""
+    """Poly DPD coefficient file (format indicator 1)."""
+    kind, data = load_dpd_file(path)
+    if kind != "poly":
+        raise ValueError("expected a poly coefficient file (format 1)")
+    return data
+
+
+def load_dpd_file(path: str):
+    """DPD coefficient file: format 1 = odd poly with 2x5 coefs, format 2 =
+    32-entry complex LUT with scale factor
+    (ref: src/MemlessPoly.cpp:110-232)."""
     with open(path) as f:
         toks = f.read().split()
     kind = int(toks[0])
-    if kind != 1:
-        raise ValueError("only poly coefficient files (format 1) supported")
-    n = int(toks[1])
-    if n != 5:
-        raise ValueError("expected 5 AM and 5 PM coefficients")
-    vals = [float(t) for t in toks[2:2 + 10]]
-    return (np.array(vals[:5], np.float32), np.array(vals[5:], np.float32))
+    if kind == 1:
+        n = int(toks[1])
+        if n != 5:
+            raise ValueError("expected 5 AM and 5 PM coefficients")
+        vals = [float(t) for t in toks[2:2 + 10]]
+        return "poly", (np.array(vals[:5], np.float32),
+                        np.array(vals[5:], np.float32))
+    if kind == 2:
+        scalefactor = float(toks[1])
+        vals = [float(t) for t in toks[2:2 + 64]]
+        if len(vals) != 64:
+            raise ValueError("expected 32 complex LUT entries")
+        lut = np.array(vals, np.float32).reshape(32, 2)
+        return "lut", (scalefactor, lut)
+    raise ValueError(f"unknown DPD coefficient file format {kind}")

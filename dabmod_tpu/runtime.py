@@ -161,6 +161,30 @@ class ModRuntime:
                                setter("poly_coef_file", str, rebuild=True))
             rcs.enrol(poly)
 
+        from .io.sdr import SdrOutput
+        if isinstance(self.output, SdrOutput):
+            dev = self.output.device
+            sdr_rc = RemoteControllable("sdr")
+            sdr_rc.add_parameter("txgain", "TX gain",
+                                 dev.get_txgain,
+                                 lambda v: dev.set_txgain(float(v)))
+            sdr_rc.add_parameter("rxgain", "RX gain for the DPD feedback",
+                                 dev.get_rxgain,
+                                 lambda v: dev.set_rxgain(float(v)))
+            sdr_rc.add_parameter("freq", "Transmission frequency",
+                                 lambda: dev.frequency,
+                                 lambda v: dev.tune(dev.lo_offset, float(v)))
+            sdr_rc.add_parameter("muting", "Mute the TX carrier",
+                                 lambda: int(self.output.muting),
+                                 lambda v: setattr(self.output, "muting",
+                                                   bool(int(v))))
+            for stat in ("underruns", "dropped", "queue_overflows",
+                         "frames"):
+                sdr_rc.add_parameter(
+                    stat, f"(Read-only) {stat} counter",
+                    lambda st=stat: getattr(self.output, st))
+            rcs.enrol(sdr_rc)
+
         mod = RemoteControllable("modulator")
         mod.add_parameter("rate", "(Read-only) IQ output samplerate",
                           lambda: s.output_rate)
@@ -214,7 +238,17 @@ class ModRuntime:
             log.info("RC parameter change; rebuilding pipeline")
             old_state = self.state
             old_layout = self.modulator.layout
-            self.modulator = Modulator(layout, self.settings)
+            try:
+                self.modulator = Modulator(layout, self.settings)
+            except Exception as e:      # noqa: BLE001
+                # a bad RC-supplied setting (e.g. malformed coef file) must
+                # not take down the transmitter; keep the previous pipeline
+                # (the reference invalidates the settings and carries on,
+                # src/MemlessPoly.cpp:226-231)
+                log.error("pipeline rebuild failed, keeping previous "
+                          "configuration: %s", e)
+                self._rebuild = False
+                return
             new_state = self.modulator.init_state()
             if old_layout == layout and old_state is not None:
                 # keep the time-interleaver history across the rebuild

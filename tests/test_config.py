@@ -81,6 +81,31 @@ def test_parse_ini(tmp_path):
     assert abs(s.normalise - 32767.0 / 50000.0) < 1e-9
 
 
+def test_parse_ini_sdr_output(tmp_path):
+    p = tmp_path / "sdr.ini"
+    p.write_text("""
+[input]
+transport=file
+source=test.eti
+
+[uhdoutput]
+device=type=b200
+channel=12C
+txgain=55.5
+rxgain=30
+lo_offset=1000
+dpd_port=50055
+""")
+    s = parse_ini(str(p))
+    assert s.output == "uhd"
+    assert s.sdr_device_args == "type=b200"
+    assert s.sdr_frequency == 227_360_000
+    assert s.sdr_txgain == 55.5 and s.sdr_rxgain == 30
+    assert s.sdr_lo_offset == 1000 and s.sdr_dpd_port == 50055
+    # SDR outputs normalise by the reference's 1/50000
+    assert abs(s.normalise - 1.0 / 50000.0) < 1e-9
+
+
 def test_cli_flags():
     s = build_settings(["in.eti", "-f", "o.iq", "-F", "u8", "-m", "4",
                         "-g", "fix", "-a", "0.5", "-r", "2048000", "-l"])

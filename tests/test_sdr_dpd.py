@@ -158,3 +158,91 @@ def test_adapt_writes_and_reloads_coefs(tmp_path):
         adapt.rc.close()
     finally:
         rcs.shutdown()
+
+
+def test_loopback_sdr_output_via_runtime(tmp_path):
+    """output=loopback builds an SdrOutput with the full sdr RC surface
+    (txgain/rxgain/freq/muting/counters) and transmits frames."""
+    zmq = pytest.importorskip("zmq")
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.dpd.adapt import Adapt
+    from dabmod_tpu.eti import synth_eti_batch
+    from dabmod_tpu.io.sdr import SdrOutput
+    from dabmod_tpu.rc import rcs
+    from dabmod_tpu.runtime import ModRuntime
+
+    frames = synth_eti_batch(8, mode=1)
+    inp = tmp_path / "in.eti"
+    inp.write_bytes(frames.tobytes())
+    s = ModSettings(input_name=str(inp), output="loopback", batch_tf=1,
+                    sdr_txgain=50.0, sdr_rxgain=30.0,
+                    sdr_frequency=227_360_000.0, sdr_dpd_port=0,
+                    rc_zmq_endpoint="tcp://127.0.0.1:39823")
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+    try:
+        assert isinstance(rt.output, SdrOutput)
+        assert rt.output.device.frequency == 227_360_000.0
+        rt.run_batches(max_batches=2)
+        _wait(lambda: rt.output.frames == 2)
+
+        # the DPD Adapt analog-gain path drives the same device
+        adapt = Adapt("tcp://127.0.0.1:39823", str(tmp_path / "c.coef"))
+        assert adapt.get_txgain() == 50.0
+        adapt.set_rxgain(42.5)
+        assert rt.output.device.rxgain == 42.5
+        assert adapt.get_rxgain() == 42.5
+        adapt.rc.close()
+    finally:
+        rt.output.close()
+        rcs.shutdown()
+
+
+def test_lut_engine_closed_loop():
+    """run_engine with the LUT model linearises the loopback PA."""
+    zmq = pytest.importorskip("zmq")
+    import threading
+
+    from dabmod_tpu.dpd.dpdce import run_engine
+    from dabmod_tpu.rc import RemoteControllable, rcs
+
+    dev = LoopbackSdrDevice(pa_model=_pa_model)
+    server = DpdFeedbackServer(dev, port=0, sample_rate=2_048_000)
+    state = {"coeffile": ""}
+    poly_rc = RemoteControllable("poly")
+    poly_rc.add_parameter("coeffile", "coef file", lambda: state["coeffile"],
+                          lambda v: state.__setitem__("coeffile", v))
+    rcs.enrol(poly_rc)
+    ep = "tcp://127.0.0.1:39827"
+    rcs.add_zmq(ep)
+    stop = threading.Event()
+
+    def feeder():
+        rng = np.random.default_rng(3)
+        ts = FrameTimestamp(valid=True, seconds=700, pps=0)
+        iq = (rng.standard_normal((50000, 2)) * 0.2).astype(np.float32)
+        dev.transmit_frame(iq, ts)
+        while not stop.is_set():
+            server.set_tx_frame(iq, ts)
+            time.sleep(0.02)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        model = run_engine(ep, "127.0.0.1", server.port, iterations=2,
+                           samples_per_burst=40000, sleep_s=0.0,
+                           learning_rate=1.0, model_kind="lut")
+        # compression -> correction magnitude grows with amplitude
+        mags = np.abs(model.lut)
+        filled = mags != 1.0
+        assert filled.sum() > 4
+        idx = np.flatnonzero(filled)
+        assert mags[idx[-1]] > mags[idx[0]]
+        assert state["coeffile"]
+        from dabmod_tpu.models.modulator import load_dpd_file
+        kind, (scale, pairs) = load_dpd_file(state["coeffile"])
+        assert kind == "lut" and pairs.shape == (32, 2)
+    finally:
+        stop.set()
+        server.stop()
+        rcs.shutdown()
