@@ -100,6 +100,30 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     s = build_settings(argv if argv is not None else sys.argv[1:])
+    root = logging.getLogger()
+    if s.log_file:
+        fh = logging.FileHandler(s.log_file)
+        fh.setFormatter(logging.Formatter(
+            "%(asctime)s %(levelname)s %(message)s"))
+        root.addHandler(fh)
+    if s.log_syslog:
+        from logging.handlers import SysLogHandler
+        try:
+            root.addHandler(SysLogHandler(address="/dev/log"))
+        except OSError as e:
+            logging.getLogger("dabmod_tpu").warning("syslog unavailable: %s",
+                                                    e)
+    if s.startup_check:
+        # run the configured gate (e.g. `chronyc waitsync`) and refuse to
+        # start on failure (ref: src/DabMod.cpp:404-421)
+        import subprocess
+        logging.getLogger("dabmod_tpu").info("startup check: %s",
+                                             s.startup_check)
+        ret = subprocess.call(s.startup_check, shell=True)
+        if ret != 0:
+            logging.getLogger("dabmod_tpu").error(
+                "startup check failed with code %d", ret)
+            return 1
     from .runtime import ModRuntime
     rt = ModRuntime(s)
     code = rt.run()

@@ -62,9 +62,13 @@ class ModSettings:
     # remote control
     rc_telnet_port: int = 0              # 0 disables
     rc_zmq_endpoint: str = ""            # "" disables
+    # general
+    startup_check: str = ""              # shell gate before start
     # events
     events_endpoint: str = ""            # ZMQ PUB endpoint for events
     log_trace_file: str = ""             # microsecond-stamped trace file
+    log_syslog: bool = False
+    log_file: str = ""                   # file log (filelog=1 + filename)
     # runtime / batching (TPU-native additions)
     batch_tf: int = 16                   # transmission frames per device step
     fft_precision: str = "high"          # MXU precision: default|high|highest
@@ -127,6 +131,10 @@ def parse_ini(path: str) -> ModSettings:
         s.rc_zmq_endpoint = get("remotecontrol", "zmqctrlendpoint", "")
     s.events_endpoint = get("log", "events_endpoint", "") or ""
     s.log_trace_file = get("log", "trace", "") or ""
+    s.startup_check = get("general", "startupcheck", "") or ""
+    s.log_syslog = getbool("log", "syslog", False)
+    if getbool("log", "filelog", False):
+        s.log_file = get("log", "filename", "odr-dabmod.log")
 
     s.input_transport = get("input", "transport", "file")
     s.input_name = get("input", "source", "/dev/stdin")

@@ -133,3 +133,36 @@ def test_channel_table():
         utils.parse_channel("99Z")
     assert utils.transmission_frame_duration_ms(1) == 96
     assert utils.transmission_frame_duration_ms(3) == 24
+
+
+def test_startupcheck_gate(tmp_path):
+    """general.startupcheck must gate startup (ref: src/DabMod.cpp:404-421)."""
+    from dabmod_tpu.cli import main
+    p = tmp_path / "cfg.ini"
+    p.write_text("""
+[general]
+startupcheck=false
+
+[input]
+transport=file
+source=/nonexistent.eti
+
+[fileoutput]
+filename=%s
+format=complexf
+""" % (tmp_path / "o.iq"))
+    assert main([str(p)]) == 1          # gate fails -> refuse to start
+    s = parse_ini(str(p))
+    assert s.startup_check == "false"
+
+
+def test_log_file_and_syslog_keys(tmp_path):
+    p = tmp_path / "cfg.ini"
+    p.write_text("""
+[log]
+syslog=1
+filelog=1
+filename=%s
+""" % (tmp_path / "mod.log"))
+    s = parse_ini(str(p))
+    assert s.log_syslog and s.log_file.endswith("mod.log")
