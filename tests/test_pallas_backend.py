@@ -25,3 +25,25 @@ def test_pallas_backend_matches_xla(gain_mode):
     ref = np.asarray(ofdm.guard_interval_unwindowed(td, 2656, 2552))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-4)
+
+
+def test_pallas_backend_lowers_on_tpu():
+    """Device lowering of the fused kernel (skips off-TPU).  The full
+    device==interpret numeric check for all gain modes runs in
+    tools/pallas_device_check.py against real hardware."""
+    import jax
+    import pytest
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a TPU backend")
+    import numpy as np
+    import jax.numpy as jnp
+    from dabmod_tpu import tables
+    from dabmod_tpu.ops.ofdm import GAIN_VAR
+    from dabmod_tpu.ops.pallas_backend import make_backend
+
+    p = tables.mode_params(1)
+    syms = np.random.default_rng(0).standard_normal(
+        (1, p.nb_symbols + 1, p.nb_carriers, 2)).astype(np.float32)
+    out = jax.jit(make_backend(p, GAIN_VAR))(jnp.asarray(syms), 1.0, 4.0)
+    assert np.isfinite(np.asarray(out)).all()
+    assert out.shape == (1, p.tf_samples, 2)
