@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Per-config throughput benchmark over the BASELINE.md config matrix.
+
+Measures steady-state device throughput (output I/Q samples per second at
+the *output* rate, and the real-time multiple vs that rate) for each of the
+BASELINE configs:
+
+  base       TM-I ETI -> I/Q, var gain               (BASELINE configs[0])
+  tm2/3/4    all transmission modes                   (configs[1])
+  fir        FIR + GainControl + PAPR (windowed GI)   (configs[2])
+  resamp4M   fractional resampler to 4.096 MS/s       (configs[3])
+  resamp8M   fractional resampler to 8.192 MS/s       (configs[3])
+  tii+dpd    TII + SFN-grade chain + MemlessPoly DPD  (configs[4])
+  cfr        CFR clipper + PAPR/MER stats
+  full       FIR + windowed GI + TII + CFR + DPD
+
+Usage: python tools/bench_configs.py [batch_tf] [--json out.json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
+    import jax
+    import jax.numpy as jnp
+    from dabmod_tpu import tables
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
+    from dabmod_tpu.models import Modulator, make_default_layout
+
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(mode, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=mode, **settings_kw))
+    p = tables.mode_params(mode)
+
+    n_stage = 4
+    staged = []
+    for k in range(n_stage):
+        raw = synth_eti_batch(batch_tf * p.cif_count, mode=mode,
+                              subch_specs=specs, seed=k)
+        b = parse_eti_frames(raw)
+        staged.append((jax.device_put(jnp.asarray(b.fic)),
+                       tuple(jax.device_put(jnp.asarray(x))
+                             for x in b.subchannels)))
+
+    s = m.settings
+    cg = jnp.float32(s.normalise * s.digital_gain)
+    vk = jnp.float32(s.gain_mode_variance)
+    step = jax.jit(m._modulate_impl, donate_argnums=(2,))
+
+    state = m.init_state()
+    iq, state, _ = step(staged[0][0], staged[0][1], state, cg, vk)
+    iq.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(4):
+        iq, state, _ = step(staged[1][0], staged[1][1], state, cg, vk)
+    iq.block_until_ready()
+    per_step = (time.perf_counter() - t0) / 4
+    iters = max(8, min(2000, int(seconds / max(per_step, 1e-4))))
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        fic, subs = staged[i % n_stage]
+        iq, state, _ = step(fic, subs, state, cg, vk)
+    iq.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    tf_per_s = iters * batch_tf / dt
+    out_rate = s.output_rate
+    out_samples_per_s = tf_per_s * m.tf_samples_out
+    # real-time multiple: how many live transmitters this chip could feed
+    tf_duration = p.tf_samples / 2_048_000.0
+    rt = tf_per_s * tf_duration
+    return {
+        "config": name,
+        "mode": mode,
+        "out_rate": out_rate,
+        "samples_per_s": round(out_samples_per_s),
+        "x_realtime": round(rt, 1),
+    }
+
+
+CONFIGS = [
+    ("base (TM-I)",   1, {}),
+    ("TM-II",         2, {}),
+    ("TM-III",        3, {}),
+    ("TM-IV",         4, {}),
+    ("FIR+winGI",     1, {"filter_taps_file": "default",
+                          "ofdm_window_overlap": 32}),
+    ("CFR",           1, {"enable_cfr": True, "cfr_clip": 12.0,
+                          "cfr_error_clip": 3.0}),
+    ("resamp 4.096M", 1, {"output_rate": 4_096_000}),
+    ("resamp 8.192M", 1, {"output_rate": 8_192_000}),
+    ("TII+DPD",       1, {"tii_enable": True,
+                          "poly_coef_file": "__builtin_poly__"}),
+    ("full",          1, {"filter_taps_file": "default",
+                          "ofdm_window_overlap": 32,
+                          "enable_cfr": True, "cfr_clip": 12.0,
+                          "cfr_error_clip": 3.0, "tii_enable": True,
+                          "poly_coef_file": "__builtin_poly__"}),
+]
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dabmod_jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch_tf = int(args[0]) if args else 24
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+
+    # identity DPD poly (the cost is the polynomial evaluation, not the
+    # values); file format per src/MemlessPoly.cpp:110-232
+    poly_path = "/tmp/dabmod_bench_poly.txt"
+    with open(poly_path, "w") as f:
+        f.write("1\n5\n1.0\n0\n0\n0\n0\n0\n0\n0\n0\n0\n")
+
+    rows = []
+    for name, mode, kw in CONFIGS:
+        kw = dict(kw)
+        if kw.get("poly_coef_file") == "__builtin_poly__":
+            kw["poly_coef_file"] = poly_path
+        r = bench_one(name, mode, kw, batch_tf)
+        rows.append(r)
+        print(f"{name:15s} mode={mode} out_rate={r['out_rate']:>9d} "
+              f"{r['samples_per_s']/1e9:6.2f} GS/s  {r['x_realtime']:7.1f}x RT",
+              flush=True)
+
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
