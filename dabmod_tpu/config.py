@@ -26,6 +26,7 @@ class ModSettings:
     file_output_show_metadata: bool = False
     zmq_output_socket_type: str = "pub"
     output_rate: int = 2_048_000
+    resampler_mode: str = "auto"         # auto | poly | fft (see ops.filters)
     cic_eq_clock_rate: int = 0
     # SDR outputs (common SDRDeviceConfig subset, src/output/SDRDevice.h)
     sdr_device_args: str = ""
@@ -35,6 +36,14 @@ class ModSettings:
     sdr_lo_offset: float = 0.0
     sdr_dpd_port: int = 0
     sdr_mute_no_timestamps: bool = False
+    sdr_master_clock_rate: float = 0.0
+    sdr_refclk_src: str = "internal"     # internal | external | gpsdo | gpsdo-ettus
+    sdr_pps_src: str = "none"            # none | pps | gpsdo | external
+    sdr_behaviour_refclk_lock_lost: str = "ignore"   # ignore | crash
+    sdr_max_gps_holdover_time: float = 0.0           # seconds, 0 = no monitor
+    sdr_bandwidth: float = 0.0
+    sdr_subdevice: str = ""
+    sdr_rx_antenna: str = ""
     # modulator
     dab_mode: int = 0                    # 0 = derive from ETI MID
     digital_gain: float = 1.0
@@ -198,6 +207,20 @@ def parse_ini(path: str) -> ModSettings:
             s.sdr_dpd_port = getint(sec, "dpd_port", 0)
             s.sdr_mute_no_timestamps = getbool(sec, "mute_no_timestamps",
                                                False)
+            s.sdr_master_clock_rate = getfloat(sec, "master_clock_rate", 0.0)
+            s.sdr_refclk_src = get(sec, "refclk_source", "internal")
+            s.sdr_pps_src = get(sec, "pps_source", "none")
+            behave = get(sec, "behaviour_refclk_lock_lost", "ignore")
+            if behave not in ("ignore", "crash"):
+                # ref: src/ConfigParser.cpp:295-306
+                raise ValueError(
+                    f"behaviour_refclk_lock_lost invalid: {behave}")
+            s.sdr_behaviour_refclk_lock_lost = behave
+            s.sdr_max_gps_holdover_time = getfloat(
+                sec, "max_gps_holdover_time", 0.0)
+            s.sdr_bandwidth = getfloat(sec, "bandwidth", 0.0)
+            s.sdr_subdevice = get(sec, "subdevice", "")
+            s.sdr_rx_antenna = get(sec, "rx_antenna", "")
             break
 
     s.tist_enabled = getbool("delaymanagement", "synchronous", False)

@@ -109,11 +109,21 @@ class Modulator:
             self._fir_taps = None
 
         # --- Resampler ---
+        self._res_plan = self._poly_plan = None
         if s.output_rate != 2_048_000:
-            self._res_plan = filters.ResamplerPlan.create(
-                2_048_000, s.output_rate, p.spacing)
-        else:
-            self._res_plan = None
+            mode_rs = s.resampler_mode
+            if mode_rs == "auto":
+                # polyphase for up/fractional ratios (the MXU-native path);
+                # the freq-domain form for decimation, where matching the
+                # reference's brick-wall band truncation matters
+                up = s.output_rate >= 2_048_000
+                mode_rs = "poly" if up else "fft"
+            if mode_rs == "poly":
+                self._poly_plan = filters.PolyphasePlan.create(
+                    2_048_000, s.output_rate)
+            else:
+                self._res_plan = filters.ResamplerPlan.create(
+                    2_048_000, s.output_rate, p.spacing)
 
         # --- DPD ---
         self._poly_am = self._poly_pm = None
@@ -135,8 +145,9 @@ class Modulator:
     @property
     def tf_samples_out(self) -> int:
         n = self.p.tf_samples
-        if self._res_plan:
-            n = n * self._res_plan.L // self._res_plan.M
+        plan = self._poly_plan or self._res_plan
+        if plan:
+            n = n * plan.L // plan.M
         return n
 
     def init_state(self):
@@ -147,7 +158,10 @@ class Modulator:
                 for m in self._subch_masks),
             "tf_index": jnp.zeros((), jnp.int32),
         }
-        if self._res_plan:
+        if self._poly_plan:
+            state["res_carry"] = jnp.zeros(
+                (2 * self._poly_plan.half, 2), jnp.float32)
+        elif self._res_plan:
             state["res_in_tail"] = jnp.zeros(
                 (self._res_plan.fft_in // 2, 2), jnp.float32)
             state["res_out_tail"] = jnp.zeros(
@@ -161,29 +175,34 @@ class Modulator:
         p = self.p
         C = p.cif_count
 
-        fic_bits = fec.unpack_bits(fic_bytes)
-        fic_out = fec.fec_path(fic_bits, self._fic_prbs, self._fic_nbits,
-                               self._fic_punct)
+        with jax.named_scope("fec"):
+            fic_bits = fec.unpack_bits(fic_bytes)
+            fic_out = fec.fec_path(fic_bits, self._fic_prbs, self._fic_nbits,
+                                   self._fic_punct)
 
-        cif_parts = []
-        new_hist = []
-        for i in range(len(self.layout.subchannels)):
-            bits = fec.unpack_bits(subch_bytes[i])
-            pb = fec.fec_path(bits, self._subch_prbs[i], self._subch_nbits[i],
-                              self._subch_punct[i])
-            ti, h = fec.time_interleave(pb, ti_history[i],
-                                        self._subch_masks[i])
-            cif_parts.append(ti)
-            new_hist.append(h)
+            cif_parts = []
+            new_hist = []
+            for i in range(len(self.layout.subchannels)):
+                bits = fec.unpack_bits(subch_bytes[i])
+                pb = fec.fec_path(bits, self._subch_prbs[i],
+                                  self._subch_nbits[i], self._subch_punct[i])
+                ti, h = fec.time_interleave(pb, ti_history[i],
+                                            self._subch_masks[i])
+                cif_parts.append(ti)
+                new_hist.append(h)
 
-        cif = fec.assemble_cif(cif_parts, self._subch_offsets,
-                               self._cif_filler)
-        tf_bits = fec.block_partition(fic_out, cif, C)
+            cif = fec.assemble_cif(cif_parts, self._subch_offsets,
+                                   self._cif_filler)
+            tf_bits = fec.block_partition(fic_out, cif, C)
 
-        q = ofdm.qpsk_phase_indices(tf_bits, p.nb_carriers)
-        q = ofdm.freq_interleave(q, self._inv_perm)
-        phases = ofdm.diff_modulate(q, self._ref_q)
-        return ofdm.phases_to_carriers(phases), tuple(new_hist)
+        with jax.named_scope("qpsk_map"):
+            q = ofdm.qpsk_phase_indices(tf_bits, p.nb_carriers)
+            q = ofdm.freq_interleave(q, self._inv_perm)
+        with jax.named_scope("diff_mod"):
+            phases = ofdm.diff_modulate(q, self._ref_q)
+        with jax.named_scope("carriers"):
+            out = ofdm.phases_to_carriers(phases)
+        return out, tuple(new_hist)
 
     def frontend(self, fic_bytes, subch_bytes, ti_history):
         """Jitted front end (exposed for stage-level validation)."""
@@ -201,59 +220,77 @@ class Modulator:
         data_syms, new_hist = self._frontend_impl(
             fic_bytes, subch_bytes, state["ti_history"])   # [B, 76, C]
 
-        tf_idx = state["tf_index"] + jnp.arange(B, dtype=jnp.int32)
-        if self._tii_vec is not None:
-            # TII in the NULL symbol of every other TF
-            # (ref: src/TII.cpp:241-243)
-            insert = (tf_idx % 2 == 0).astype(jnp.float32)[:, None, None]
-            null_row = self._tii_vec[None, :, :] * insert
-        else:
-            null_row = jnp.zeros((B, p.nb_carriers, 2), jnp.float32)
-        symbols = jnp.concatenate([null_row[:, None], data_syms], axis=1)
-        if self._cic_taps is not None:
-            symbols = symbols * self._cic_taps[None, None, :, None]
+        with jax.named_scope("tii_null"):
+            tf_idx = state["tf_index"] + jnp.arange(B, dtype=jnp.int32)
+            if self._tii_vec is not None:
+                # TII in the NULL symbol of every other TF
+                # (ref: src/TII.cpp:241-243)
+                insert = (tf_idx % 2 == 0).astype(jnp.float32)[:, None, None]
+                null_row = self._tii_vec[None, :, :] * insert
+            else:
+                null_row = jnp.zeros((B, p.nb_carriers, 2), jnp.float32)
+            symbols = jnp.concatenate([null_row[:, None], data_syms], axis=1)
+            if self._cic_taps is not None:
+                symbols = symbols * self._cic_taps[None, None, :, None]
 
-        bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
-        td = ofdm.ofdm_ifft(bins)                          # [B, S, spacing]
+        with jax.named_scope("ofdm_ifft"):
+            bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
+            td = ofdm.ofdm_ifft(bins)                      # [B, S, spacing]
 
         stats = {}
         if self.settings.enable_cfr:
-            td, n_clip, n_err = ofdm.cfr_one_iteration(
-                td, bins, self.settings.cfr_clip, self.settings.cfr_error_clip)
-            stats["cfr_clip"] = n_clip
-            stats["cfr_errclip"] = n_err
-            stats["papr_after_cfr"] = filters.papr_db(
-                td[:, 1:].reshape(B, -1, 2))
+            with jax.named_scope("cfr"):
+                td, n_clip, n_err = ofdm.cfr_one_iteration(
+                    td, bins, self.settings.cfr_clip,
+                    self.settings.cfr_error_clip)
+                stats["cfr_clip"] = n_clip
+                stats["cfr_errclip"] = n_err
+                stats["papr_after_cfr"] = filters.papr_db(
+                    td[:, 1:].reshape(B, -1, 2))
 
-        gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
-        td = ofdm.apply_gain(td, gains, constant_gain)
+        with jax.named_scope("gain"):
+            gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
+            td = ofdm.apply_gain(td, gains, constant_gain)
 
-        if self.settings.ofdm_window_overlap == 0:
-            iq = ofdm.guard_interval_unwindowed(td, p.null_size, p.sym_size)
-        else:
-            iq = ofdm.guard_interval_windowed(
-                td, p.null_size, p.sym_size,
-                self.settings.ofdm_window_overlap)         # [B, tf_samples, 2]
+        with jax.named_scope("guard_interval"):
+            if self.settings.ofdm_window_overlap == 0:
+                iq = ofdm.guard_interval_unwindowed(
+                    td, p.null_size, p.sym_size)
+            else:
+                iq = ofdm.guard_interval_windowed(
+                    td, p.null_size, p.sym_size,
+                    self.settings.ofdm_window_overlap)     # [B, tf_samples, 2]
 
         if self._fir_taps is not None:
-            iq = filters.fir_filter(iq, self._fir_taps)
+            with jax.named_scope("fir"):
+                iq = filters.fir_filter(iq, self._fir_taps)
 
         new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B}
 
-        if self._res_plan:
-            flat = iq.reshape(-1, 2)
-            y, in_tail, out_tail = filters.resample(
-                flat, self._res_plan, state["res_in_tail"],
-                state["res_out_tail"])
-            new_state["res_in_tail"] = in_tail
-            new_state["res_out_tail"] = out_tail
-            iq = y.reshape(B, -1, 2)
+        if self._poly_plan:
+            with jax.named_scope("resampler"):
+                y, carry = filters.resample_poly(
+                    iq.reshape(-1, 2), self._poly_plan, state["res_carry"])
+                new_state["res_carry"] = carry
+                iq = y.reshape(B, -1, 2)
+        elif self._res_plan:
+            with jax.named_scope("resampler"):
+                flat = iq.reshape(-1, 2)
+                y, in_tail, out_tail = filters.resample(
+                    flat, self._res_plan, state["res_in_tail"],
+                    state["res_out_tail"])
+                new_state["res_in_tail"] = in_tail
+                new_state["res_out_tail"] = out_tail
+                iq = y.reshape(B, -1, 2)
 
-        if self._poly_am is not None:
-            iq = filters.memless_poly(iq, self._poly_am, self._poly_pm)
-        elif self._lut is not None:
-            iq = filters.memless_lut(iq, self._lut, self._lut_scale)
+        if self._poly_am is not None or self._lut is not None:
+            with jax.named_scope("dpd"):
+                if self._poly_am is not None:
+                    iq = filters.memless_poly(
+                        iq, self._poly_am, self._poly_pm)
+                else:
+                    iq = filters.memless_lut(iq, self._lut, self._lut_scale)
 
         return iq, new_state, stats
 

@@ -12,6 +12,7 @@ parallel and the half-window overlap-add becomes a shifted sum.
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +30,59 @@ _PRECISION = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 
-def fir_filter(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """x: [..., N, 2]; taps: [ntaps] float32 -> [..., N, 2]."""
+def _interleave_operator(T: np.ndarray) -> np.ndarray:
+    """Expand a banded sample-domain operator T[c, j] to act on the
+    interleaved I/Q stream: T2[2c, 2j] = T2[2c+1, 2j+1] = T[c, j].
+
+    Matmuls over the interleaved stream need no transposes at all -- the
+    pair-minor [..., N, 2] layout *is* the flat real stream -- where a
+    pair-axis einsum would put a size-2 axis in the 128-lane minor dim."""
+    F, O = T.shape
+    T2 = np.zeros((2 * F, 2 * O), dtype=T.dtype)
+    T2[0::2, 0::2] = T
+    T2[1::2, 1::2] = T
+    return T2
+
+
+@lru_cache(maxsize=None)
+def _fir_operator(taps_bytes: bytes, ntaps: int, block: int) -> np.ndarray:
+    taps = np.frombuffer(taps_bytes, np.float32)
+    F = block + ntaps
+    T = np.zeros((F, block), np.float32)
+    for i in range(block):
+        T[i:i + ntaps, i] = taps
+    return _interleave_operator(T)
+
+
+def fir_filter(x: jnp.ndarray, taps, block: int = 128) -> jnp.ndarray:
+    """x: [..., N, 2]; taps: [ntaps] float32 (host array) -> [..., N, 2].
+
+    Banded-matmul formulation on the interleaved I/Q stream: the input is
+    framed into `block`-sample rows with an ntaps-sample right halo and
+    multiplied by the precomputed banded operator.  One HBM pass + MXU
+    work, vs ~ntaps passes for the shifted-add form (HBM-bound at 1000x
+    real-time).  The zero right-pad reproduces the reference's truncation
+    at the TF boundary (src/FIRFilter.cpp:218-226).
+    """
+    taps = np.asarray(taps, np.float32)
+    ntaps = taps.size
+    T2 = jnp.asarray(_fir_operator(taps.tobytes(), ntaps, block))
+    n = x.shape[-2]
+    lead = x.shape[:-2]
+    nb = -(-n // block)
+    b2 = 2 * block
+    r = x.reshape(*lead, 2 * n)
+    pad = (nb + 1) * b2 - 2 * n           # round up + halo source block
+    rp = jnp.pad(r, [(0, 0)] * (x.ndim - 2) + [(0, pad)])
+    base = rp[..., :nb * b2].reshape(*lead, nb, b2)
+    ext = rp[..., b2:(nb + 1) * b2].reshape(*lead, nb, b2)
+    frames = jnp.concatenate([base, ext[..., :2 * ntaps]], axis=-1)
+    y = jnp.einsum("...f,fo->...o", frames, T2, precision=_PRECISION)
+    return y.reshape(*lead, nb * block, 2)[..., :n, :]
+
+
+def fir_filter_shifts(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Shifted-add reference form of fir_filter (kept for validation)."""
     ntaps = taps.shape[0]
     n = x.shape[-2]
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, ntaps), (0, 0)])
@@ -128,6 +180,100 @@ def resample(x: jnp.ndarray, plan: ResamplerPlan,
     prev = jnp.concatenate([out_tail[None], second[:-1]], axis=0)
     y = (first + prev).reshape(-1, 2)
     return y, xp[-hi:], second[-1]
+
+
+# ---------------------------------------------------------------------------
+# Polyphase resampler (TPU-first formulation; same role as src/Resampler.cpp)
+#
+# The reference resamples in the frequency domain (Hann OLA blocks, FFT in /
+# zero-pad / FFT out).  On TPU that formulation needs 4096/16384-point
+# transforms expressed as thin matmuls -- the dominant cost of the resampler
+# configs.  A windowed-sinc polyphase interpolator produces the same signal
+# (within MER bound; the DAB spectrum occupies only 0.75 of the input
+# Nyquist, leaving a wide transition band) at ~20x fewer FLOPs, and maps
+# onto the MXU as one dense banded matmul:
+#
+#   frames [nb, block + 2*half] @ T [block + 2*half, block*L/M]
+#
+# where T[c, j] = h_up[j*M - (c - half)*L] is the precomputed banded
+# interpolation operator.  The only sequential state is a 2*half-sample
+# input carry; output lags input by exactly `half` input samples.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PolyphasePlan:
+    L: int
+    M: int
+    half: int               # half-support in input samples
+    block: int              # input samples per matmul row
+    out_block: int          # block * L // M
+    matrix: np.ndarray      # interleaved-I/Q banded operator,
+    #                         [2*(block + 2*half), 2*out_block] float32
+
+    @classmethod
+    def create(cls, input_rate: int, output_rate: int,
+               atten_db: float = 120.0, block: int = 128):
+        g = np.gcd(input_rate, output_rate)
+        L = output_rate // g
+        M = input_rate // g
+        # make the block a multiple of M so out_block is integral
+        if block % M:
+            block = ((block + M - 1) // M) * M
+        cut = min(1.0, L / M)          # passband gain edge, input-Nyquist units
+        # Kaiser design: transition band is +/- cut/4 around the cutoff --
+        # generous because the DAB spectrum stops at 0.75 of input Nyquist.
+        d_omega = 0.5 * cut * np.pi / L   # transition width, upsampled domain
+        n_total = int(np.ceil((atten_db - 7.95) / (2.285 * d_omega)))
+        half = int(np.ceil(n_total / (2 * L)))
+        beta = 0.1102 * (atten_db - 8.7)
+        t = np.arange(-half * L, half * L + 1, dtype=np.float64)
+        proto = cut * np.sinc(cut * t / L)
+        proto *= np.i0(beta * np.sqrt(np.maximum(
+            0.0, 1.0 - (t / (half * L)) ** 2))) / np.i0(beta)
+        # passband gain: 1 for upsampling, L/M for downsampling (matches the
+        # reference's spectrum scaling, src/Resampler.cpp:87-99)
+        gain = 1.0 if L >= M else L / M
+        # normalise per-phase DC response to remove periodic design ripple
+        phase_sums = np.array([proto[(r + half * L) % L::L].sum()
+                               for r in range(L)])
+        proto = proto * (gain / phase_sums.mean())
+
+        out_block = block * L // M
+        F = block + 2 * half
+        T = np.zeros((F, out_block), dtype=np.float64)
+        for j in range(out_block):
+            for c in range(F):
+                tt = j * M - (c - half) * L
+                if -half * L <= tt <= half * L:
+                    T[c, j] = proto[tt + half * L]
+        return cls(L, M, half, block, out_block,
+                   _interleave_operator(T.astype(np.float32)))
+
+
+def resample_poly(x: jnp.ndarray, plan: PolyphasePlan, carry: jnp.ndarray):
+    """Polyphase L/M resampling of a flat pair stream.
+
+    x: [N, 2] with N a multiple of plan.block; carry: [2*half, 2] input
+    history.  Returns (y [N*L/M, 2], new_carry).  The output stream equals
+    the resampled input stream delayed by `half` input samples.
+    """
+    n = x.shape[0]
+    h2 = 2 * plan.half
+    nb = n // plan.block
+    b2 = 2 * plan.block
+    xp = jnp.concatenate([carry, x], axis=0)          # [N + 2h, 2]
+    r = xp.reshape(-1)                                # interleaved stream
+    base = r[:nb * b2].reshape(nb, b2)
+    # halo: the 2h samples following each block (next block's head; the
+    # final block's halo is the stream tail) -- slices, no gather
+    ext = r[b2:]
+    pad = nb * b2 - ext.shape[0]
+    ext = jnp.pad(ext, ((0, pad),)).reshape(nb, b2)
+    frames = jnp.concatenate([base, ext[:, :2 * h2]], axis=1)  # [nb, 2F]
+    y = jnp.einsum("nf,fo->no", frames, jnp.asarray(plan.matrix),
+                   precision=_PRECISION)
+    return y.reshape(-1, 2), xp[-h2:]
 
 
 # ---------------------------------------------------------------------------

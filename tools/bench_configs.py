@@ -109,36 +109,47 @@ CONFIGS = [
 
 
 def main():
+    import argparse
+    import tempfile
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/dabmod_jaxcache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    batch_tf = int(args[0]) if args else 24
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("batch_tf", nargs="?", type=int, default=24)
+    ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="run only configs whose name contains this substring")
+    args = ap.parse_args()
 
     # identity DPD poly (the cost is the polynomial evaluation, not the
     # values); file format per src/MemlessPoly.cpp:110-232
-    poly_path = "/tmp/dabmod_bench_poly.txt"
-    with open(poly_path, "w") as f:
+    with tempfile.NamedTemporaryFile(
+            "w", suffix=".txt", prefix="dabmod_bench_poly_",
+            delete=False) as f:
         f.write("1\n5\n1.0\n0\n0\n0\n0\n0\n0\n0\n0\n0\n")
+        poly_path = f.name
 
     rows = []
-    for name, mode, kw in CONFIGS:
-        kw = dict(kw)
-        if kw.get("poly_coef_file") == "__builtin_poly__":
-            kw["poly_coef_file"] = poly_path
-        r = bench_one(name, mode, kw, batch_tf)
-        rows.append(r)
-        print(f"{name:15s} mode={mode} out_rate={r['out_rate']:>9d} "
-              f"{r['samples_per_s']/1e9:6.2f} GS/s  {r['x_realtime']:7.1f}x RT",
-              flush=True)
+    try:
+        for name, mode, kw in CONFIGS:
+            if args.only and args.only not in name:
+                continue
+            kw = dict(kw)
+            if kw.get("poly_coef_file") == "__builtin_poly__":
+                kw["poly_coef_file"] = poly_path
+            r = bench_one(name, mode, kw, args.batch_tf)
+            rows.append(r)
+            print(f"{name:15s} mode={mode} out_rate={r['out_rate']:>9d} "
+                  f"{r['samples_per_s']/1e9:6.2f} GS/s  "
+                  f"{r['x_realtime']:7.1f}x RT", flush=True)
+    finally:
+        os.unlink(poly_path)
 
-    if json_out:
-        with open(json_out, "w") as f:
+    if args.json_out:
+        with open(args.json_out, "w") as f:
             json.dump(rows, f, indent=1)
     return rows
 

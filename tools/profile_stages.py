@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Per-stage device-time profile of the modulator pipeline.
+
+The reference prints a per-flowgraph-node process-time percentage table at
+teardown (src/Flowgraph.cpp:248-267).  The fused TPU pipeline's equivalent
+is a jax.profiler device trace aggregated by the jax.named_scope stage
+annotations in models/modulator.py.
+
+Usage: python tools/profile_stages.py [config_name] [batch_tf]
+  config_name: substring of a tools/bench_configs.py config (default "full")
+"""
+import collections
+import glob
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES = ["fec", "qpsk_map", "diff_mod", "carriers", "tii_null", "ofdm_ifft",
+          "cfr", "gain", "guard_interval", "fir", "resampler", "dpd"]
+
+
+def collect_device_times(logdir):
+    """Aggregate XLA-op device time by named_scope prefix from an xplane."""
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+    totals = collections.Counter()
+    total_ns = 0
+    for path in glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                          recursive=True):
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            if "TPU" not in plane.name and "/device" not in plane.name.lower():
+                continue
+            meta = plane.event_metadata
+            stats_meta = plane.stat_metadata
+            for line in plane.lines:
+                if line.name not in ("XLA Ops", "XLA TraceMe"):
+                    continue
+                for ev in line.events:
+                    md = meta.get(ev.metadata_id)
+                    if md is None:
+                        continue
+                    name = md.name
+                    # scope shows up in the hlo long name / tf_op stat
+                    long_name = md.display_name or name
+                    for st in ev.stats:
+                        sm = stats_meta.get(st.metadata_id)
+                        if sm is not None and sm.name in (
+                                "tf_op", "hlo_op", "name"):
+                            if st.str_value:
+                                long_name = st.str_value
+                    stage = None
+                    for s in STAGES:
+                        if s + "/" in long_name or long_name.startswith(s) \
+                                or "/" + s in long_name:
+                            stage = s
+                            break
+                    totals[stage or "(other)"] += ev.duration_ps
+                    total_ns += ev.duration_ps
+    return totals, total_ns
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dabmod_jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_configs import CONFIGS
+    from dabmod_tpu import tables
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
+    from dabmod_tpu.models import Modulator, make_default_layout
+
+    sel = sys.argv[1] if len(sys.argv) > 1 else "full"
+    batch_tf = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    name, mode, kw = next((c for c in CONFIGS if sel in c[0]))
+    kw = dict(kw)
+    if kw.get("poly_coef_file") == "__builtin_poly__":
+        with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                         delete=False) as f:
+            f.write("1\n5\n1.0\n0\n0\n0\n0\n0\n0\n0\n0\n0\n")
+            kw["poly_coef_file"] = f.name
+
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(mode, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=mode, **kw))
+    p = tables.mode_params(mode)
+    raw = synth_eti_batch(batch_tf * p.cif_count, mode=mode,
+                          subch_specs=specs, seed=0)
+    b = parse_eti_frames(raw)
+    fic = jax.device_put(jnp.asarray(b.fic))
+    subs = tuple(jax.device_put(jnp.asarray(x)) for x in b.subchannels)
+    s = m.settings
+    cg = jnp.float32(s.normalise * s.digital_gain)
+    vk = jnp.float32(s.gain_mode_variance)
+    step = jax.jit(m._modulate_impl, donate_argnums=(2,))
+
+    state = m.init_state()
+    iq, state, _ = step(fic, subs, state, cg, vk)
+    iq.block_until_ready()
+
+    logdir = tempfile.mkdtemp(prefix="dabmod_prof_")
+    n_iter = 20
+    with jax.profiler.trace(logdir):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            iq, state, _ = step(fic, subs, state, cg, vk)
+        iq.block_until_ready()
+        dt = time.perf_counter() - t0
+
+    totals, total_ps = collect_device_times(logdir)
+    tf_duration = p.tf_samples / 2_048_000.0
+    rt = n_iter * batch_tf * tf_duration / dt
+    print(f"\nconfig '{name}' batch_tf={batch_tf}: "
+          f"{dt / n_iter * 1e3:.3f} ms/step, {rt:.0f}x real-time")
+    print(f"{'stage':16s} {'device ms/step':>14s} {'%':>6s}")
+    for stage, ps in sorted(totals.items(), key=lambda kv: -kv[1]):
+        ms = ps / 1e9 / n_iter
+        print(f"{stage:16s} {ms:14.4f} {100.0 * ps / max(total_ps, 1):5.1f}%")
+    dev_ms = total_ps / 1e9 / n_iter
+    print(f"{'total device':16s} {dev_ms:14.4f}  (wall {dt/n_iter*1e3:.3f})")
+
+
+if __name__ == "__main__":
+    main()
