@@ -58,27 +58,37 @@ class FileOutput:
         self.num_clipped_samples = 0
         self.show_metadata = show_metadata
         self._last_fct = None
+        self._fct_step = None
 
     def write(self, iq, metadata=None) -> None:
         data, n_clipped = serialize_iq_count(iq, self.fmt)
         self.num_clipped_samples = n_clipped
         self.f.write(data)
         if self.show_metadata and metadata is not None:
-            # FCT/TIST continuity display like OutputFile show_metadata
-            # (ref: src/OutputFile.cpp:69-139)
-            import logging
-            import time as _time
-            log = logging.getLogger("dabmod_tpu")
-            fct, ts = metadata
-            if self._last_fct is not None:
-                expected = (self._last_fct + getattr(ts, "fp_step", 4)) % 250
-                if fct != expected:
-                    log.warning("FCT discontinuity in output: %d -> %d",
-                                self._last_fct, fct)
-            self._last_fct = fct
-            if ts is not None and ts.valid:
-                log.info("Frame %d TS %.6f offset to wallclock %.3f",
-                         fct, ts.as_seconds(), ts.as_seconds() - _time.time())
+            entries = metadata if isinstance(metadata, list) else [metadata]
+            if len(entries) >= 2:
+                # FCT step per TF == the mode's CIFs per frame, inferred
+                # from consecutive TF metadata (1 for TM-II/III, 2 TM-IV,
+                # 4 TM-I; ref: src/BlockPartitioner.cpp:44-73)
+                self._fct_step = (entries[1][0] - entries[0][0]) % 250
+            for fct, ts in entries:
+                self._show_one(fct, ts)
+
+    def _show_one(self, fct, ts):
+        # FCT/TIST continuity display like OutputFile show_metadata
+        # (ref: src/OutputFile.cpp:69-139)
+        import logging
+        import time as _time
+        log = logging.getLogger("dabmod_tpu")
+        if self._last_fct is not None and self._fct_step:
+            expected = (self._last_fct + self._fct_step) % 250
+            if fct != expected:
+                log.warning("FCT discontinuity in output: %d -> %d",
+                            self._last_fct, fct)
+        self._last_fct = fct
+        if ts is not None and ts.valid:
+            log.info("Frame %d TS %.6f offset to wallclock %.3f",
+                     fct, ts.as_seconds(), ts.as_seconds() - _time.time())
 
     def close(self):
         self.f.close()
@@ -130,16 +140,21 @@ def open_sdr_output(settings):
     `loopback` device closes the DPD feedback loop without hardware."""
     from . import sdr
 
-    drivers = {"uhd": sdr.UhdDevice, "soapy": sdr.SoapyDevice,
-               "lime": sdr.LimeDevice, "bladerf": sdr.BladeRFDevice,
-               "dexter": sdr.DexterDevice,
-               "loopback": sdr.LoopbackSdrDevice}
-    device = drivers[settings.output]()
-    device.set_txgain(settings.sdr_txgain)
-    device.set_rxgain(settings.sdr_rxgain)
-    if settings.sdr_frequency:
-        device.tune(settings.sdr_lo_offset, settings.sdr_frequency)
+    if settings.output == "uhd":
+        from .uhd_driver import UhdConfig  # noqa: PLC0415
+        device = sdr.UhdDevice(UhdConfig.from_settings(settings))
+    else:
+        drivers = {"soapy": sdr.SoapyDevice, "lime": sdr.LimeDevice,
+                   "bladerf": sdr.BladeRFDevice,
+                   "dexter": sdr.DexterDevice,
+                   "loopback": sdr.LoopbackSdrDevice}
+        device = drivers[settings.output]()
+        device.set_txgain(settings.sdr_txgain)
+        device.set_rxgain(settings.sdr_rxgain)
+        if settings.sdr_frequency:
+            device.tune(settings.sdr_lo_offset, settings.sdr_frequency)
     return sdr.SdrOutput(device, sync=settings.tist_enabled,
                          sample_rate=settings.output_rate,
                          feedback_port=settings.sdr_dpd_port,
-                         mute=False)
+                         mute=False,
+                         mute_no_timestamps=settings.sdr_mute_no_timestamps)

@@ -142,16 +142,17 @@ def _missing_driver(name, module):
     return Missing
 
 
-try:
-    import uhd as _uhd  # noqa: F401
-    UhdDevice = None   # real driver would go here
-except ImportError:
-    UhdDevice = _missing_driver("UHD", "uhd")
-try:
-    import SoapySDR as _soapy  # noqa: F401
-    SoapyDevice = None
-except ImportError:
-    SoapyDevice = _missing_driver("SoapySDR", "SoapySDR")
+def _load_uhd_device():
+    try:
+        import uhd  # noqa: F401, PLC0415
+    except ImportError:
+        return _missing_driver("UHD", "uhd")
+    from .uhd_driver import UhdDevice as _UhdDevice  # noqa: PLC0415
+    return _UhdDevice
+
+
+UhdDevice = _load_uhd_device()
+SoapyDevice = _missing_driver("SoapySDR", "SoapySDR")
 LimeDevice = _missing_driver("LimeSDR", "LimeSuite")
 BladeRFDevice = _missing_driver("BladeRF", "libbladeRF")
 DexterDevice = _missing_driver("Dexter", "libiio")
@@ -162,19 +163,24 @@ class SdrOutput:
 
     def __init__(self, device: SdrDevice, sync: bool = False,
                  sample_rate: int = 2_048_000, feedback_port: int = 0,
-                 mute: bool = False):
+                 mute: bool = False, mute_no_timestamps: bool = False):
         self.device = device
         self.sync = sync
         self.sample_rate = sample_rate
         self.muting = mute
+        self.mute_no_timestamps = mute_no_timestamps
         maxsize = FRAMES_MAX_SIZE_SYNC if sync else FRAMES_MAX_SIZE_UNSYNC
         self.queue: queue.Queue = queue.Queue(maxsize)
         self.underruns = 0
         self.dropped = 0
+        self.muted = 0
         self.queue_overflows = 0
         self.frames = 0
+        self.timestamp_discontinuities = 0
         self.num_clipped_samples = 0
+        self._last_tx_ticks = None       # (seconds, pps) of last frame sent
         self._running = True
+        self.fault = None                # terminal device-thread exception
         self.feedback_server = None
         if feedback_port:
             self.feedback_server = DpdFeedbackServer(
@@ -185,9 +191,24 @@ class SdrOutput:
 
     # -- modulator-thread side --------------------------------------------
     def write(self, iq, ts=None):
+        """Enqueue transmission frames.  `ts` may be a single timestamp, a
+        (fct, timestamp) tuple, or -- for a batched [B, N, 2] array -- a list
+        of per-TF (fct, timestamp) entries; each TF becomes its own queue
+        entry so the device thread gates SFN timing per transmission frame
+        (ref: src/output/SDR.cpp:135-201)."""
+        frame = np.asarray(iq)
+        if isinstance(ts, list):
+            if frame.ndim >= 3 and frame.shape[0] == len(ts):
+                for i, entry in enumerate(ts):
+                    t = entry[1] if isinstance(entry, tuple) else entry
+                    self._enqueue(frame[i], t)
+                return
+            ts = ts[0] if ts else None
         if isinstance(ts, tuple):   # runtime metadata is (fct, timestamp)
             ts = ts[1]
-        frame = np.asarray(iq)
+        self._enqueue(frame, ts)
+
+    def _enqueue(self, frame: np.ndarray, ts):
         if self.feedback_server is not None and ts is not None:
             self.feedback_server.set_tx_frame(frame, ts)
         try:
@@ -208,28 +229,75 @@ class SdrOutput:
                 frame, ts = self.queue.get(timeout=0.2)
             except queue.Empty:
                 continue
-            if ts is not None and self.sync and ts.valid:
-                offset = ts.as_seconds() - time.time()
-                if offset < 0:
-                    # Timestamp in the past: drop the frame
-                    # (ref: src/output/SDR.cpp:332-340)
-                    self.dropped += 1
-                    log.warning("SDR: dropping frame with timestamp %.3f s "
-                                "in the past", -offset)
-                    continue
-                if offset > 100:
-                    # (ref: src/output/SDR.cpp:342-351)
-                    log.error("SDR: timestamp is %.1f s in the future, "
-                              "aborting", offset)
-                    self._running = False
-                    break
-            if not self.muting:
-                try:
-                    self.device.transmit_frame(frame, ts)
-                    self.frames += 1
-                except Exception as e:      # noqa: BLE001
-                    self.underruns += 1
-                    log.error("SDR transmit error: %s", e)
+            try:
+                self._handle_frame(frame, ts)
+            except Exception as e:      # noqa: BLE001
+                # terminal: timestamp abort, refclk-crash behaviour, GPS
+                # fix lost past holdover (ref: src/output/SDR.cpp:342-351)
+                log.error("SDR device thread aborting: %s", e)
+                self.fault = e
+                self._running = False
+
+    def _handle_frame(self, frame, ts):
+        """Per-transmission-frame SFN gating
+        (ref: src/output/SDR.cpp:254-361 handle_frame)."""
+        # GPSDO / external reference discipline gate
+        clk_ok = getattr(self.device, "is_clk_source_ok", None)
+        if clk_ok is not None and not clk_ok():
+            self.muted += 1
+            return
+        if self.sync and self.mute_no_timestamps \
+                and (ts is None or not ts.valid):
+            self.muted += 1
+            log.info("SDR: muting frame, no timestamp")
+            return
+        if ts is not None and self.sync and ts.valid:
+            get_secs = getattr(self.device, "get_real_secs", time.time)
+            device_time = get_secs()
+            # timestamp continuity vs expected per-frame increment
+            # (ref: src/output/SDR.cpp:292-326)
+            n_samps = int(np.asarray(frame).size // 2)
+            if self._last_tx_ticks is not None:
+                inc = n_samps * 16_384_000 // self.sample_rate
+                exp_sec = self._last_tx_ticks[0] + \
+                    (self._last_tx_ticks[1] + inc) // 16_384_000
+                exp_pps = (self._last_tx_ticks[1] + inc) % 16_384_000
+                if (exp_sec, exp_pps) != (ts.seconds, ts.pps):
+                    self.timestamp_discontinuities += 1
+                    log.warning(
+                        "SDR: timestamp irregularity at FCT=%d: expected "
+                        "%d+%d got %d+%d", ts.fct, exp_sec, exp_pps,
+                        ts.seconds, ts.pps)
+                    self._refresh_device_timestamp()
+            self._last_tx_ticks = (ts.seconds, ts.pps)
+            offset = ts.as_seconds() - device_time
+            if offset < 0:
+                # Timestamp in the past: drop the frame
+                # (ref: src/output/SDR.cpp:332-340)
+                self.dropped += 1
+                log.warning("SDR: dropping frame FCT=%d with timestamp "
+                            "%.3f s in the past", ts.fct, -offset)
+                self._refresh_device_timestamp()
+                return
+            if offset > 100:
+                # (ref: src/output/SDR.cpp:342-351)
+                raise RuntimeError(
+                    f"timestamp {offset:.1f} s in the future")
+        if self.muting:
+            self.muted += 1
+            self._refresh_device_timestamp()
+            return
+        try:
+            self.device.transmit_frame(frame, ts)
+            self.frames += 1
+        except Exception as e:      # noqa: BLE001
+            self.underruns += 1
+            log.error("SDR transmit error: %s", e)
+
+    def _refresh_device_timestamp(self):
+        refresh = getattr(self.device, "require_timestamp_refresh", None)
+        if refresh is not None:
+            refresh()
 
     def get_run_statistics(self) -> dict:
         stats = {"underruns": self.underruns, "dropped": self.dropped,

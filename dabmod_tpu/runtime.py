@@ -347,22 +347,28 @@ class ModRuntime:
                 self._last_fct = -1
                 return RunResult.AGAIN
 
-            # timestamps: EDI gives UTC directly, ETI needs the MNSC decode
+            # timestamps: EDI gives UTC directly, ETI needs the MNSC decode.
+            # One timestamp per *transmission frame* (its earliest ETI
+            # frame's), so SFN gating can act per TF downstream
+            # (ref: src/output/SDR.cpp:135-201).
             edi_times = getattr(self.reader, "timestamps", None)
+            tf_ts = []
             if edi_times:
-                for i in range(min(len(batch), len(edi_times))):
-                    seconds, utco, tsta = edi_times[i]
-                    # EDI epoch is 2000-01-01 plus UTCO leap-second offset
-                    # (ref: src/EtiReader.cpp:476-529)
-                    posix = seconds + 946_684_800 + 32 - utco
-                    self.ts_decoder.update_edi(
-                        posix, batch.tist_pps[i], batch.fct[i], batch.fp[i])
+                for i in range(len(batch)):
+                    if i < len(edi_times):
+                        seconds, utco, tsta = edi_times[i]
+                        # EDI epoch is 2000-01-01 plus UTCO leap-second
+                        # offset (ref: src/EtiReader.cpp:476-529)
+                        posix = seconds + 946_684_800 + 32 - utco
+                        self.ts_decoder.update_edi(
+                            posix, batch.tist_pps[i], batch.fct[i],
+                            batch.fp[i])
+                    if i % C == 0:
+                        tf_ts.append(self.ts_decoder.timestamp())
                 del edi_times[:len(batch)]
             else:
-                for i in range(len(batch)):
-                    self.ts_decoder.update_eti(batch.fp[i], batch.mnsc[i],
-                                               batch.tist_pps[i],
-                                               batch.fct[i])
+                tf_ts = self.ts_decoder.update_eti_batch(
+                    batch.fp, batch.mnsc, batch.tist_pps, batch.fct, C)
 
             # feed the FIC decoder for ensemble info (RC `ensemble info`,
             # like the reference's showjson on the EDI path)
@@ -373,10 +379,10 @@ class ModRuntime:
                 batch, self.state)
             if stats:
                 self.last_stats = stats
+            meta = [(int(batch.fct[i * C]), tf_ts[i])
+                    for i in range(len(tf_ts))]
             try:
-                self.output.write(np.asarray(iq),
-                                  (int(batch.fct[0]),
-                                   self.ts_decoder.timestamp()))
+                self.output.write(np.asarray(iq), meta)
             except TypeError:
                 self.output.write(np.asarray(iq))
             self._tracepoint("output,write %d" % T)

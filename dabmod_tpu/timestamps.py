@@ -103,3 +103,18 @@ class TimestampDecoder:
         ts = FrameTimestamp(self.full_timestamp_received, self.time_secs,
                             self.time_pps, self.latest_fct, self.latest_fp)
         return ts.offset(self.offset_s) if self.offset_s else ts
+
+    def update_eti_batch(self, fps, mnscs, ppss, fcts,
+                         cif_count: int) -> list[FrameTimestamp]:
+        """Update over a batch of ETI frames; returns one FrameTimestamp per
+        transmission frame -- the timestamp of its *earliest* ETI frame,
+        which is what the SDR output transmits against
+        (ref: src/output/SDR.cpp:135-201, src/BlockPartitioner metadata
+        aggregation)."""
+        out = []
+        for i in range(len(fcts)):
+            self.update_eti(int(fps[i]), int(mnscs[i]), int(ppss[i]),
+                            int(fcts[i]))
+            if i % cif_count == 0:
+                out.append(self.timestamp())
+        return out

@@ -44,6 +44,45 @@ def test_sdr_sync_drops_late_frames():
     out.close()
 
 
+def test_sdr_batch_write_per_tf_timestamps():
+    """A batched [B, N, 2] write with per-TF metadata must become B queue
+    entries, each gated on its own timestamp (ref: src/output/SDR.cpp:
+    135-201): here TF#1 is in the past (dropped) while the others go out."""
+    dev = LoopbackSdrDevice(history_frames=16)
+    out = SdrOutput(dev, sync=True)
+    B, N = 4, 100
+    batch = np.arange(B * N * 2, dtype=np.float32).reshape(B, N, 2)
+    now = int(time.time())
+    meta = [(i, FrameTimestamp(valid=True,
+                               seconds=now - 10 if i == 1 else now + 2,
+                               pps=i)) for i in range(B)]
+    out.write(batch, meta)
+    _wait(lambda: out.frames == B - 1 and out.dropped == 1)
+    out.close()
+    sent = [ts.pps for _, ts in dev._history]
+    assert sent == [0, 2, 3]
+    # each transmitted frame is a single TF, not the whole batch
+    assert all(s.shape == (N, 2) for s, _ in dev._history)
+
+
+def test_timestamp_decoder_batch_per_tf():
+    """update_eti_batch returns one timestamp per TF == its first ETI
+    frame's decode state."""
+    from dabmod_tpu.timestamps import TimestampDecoder
+    dec = TimestampDecoder()
+    C = 4                      # TM-I: 4 CIFs per transmission frame
+    n = 16
+    frame_pps = int(0.024 * 16_384_000)
+    fps = [i % 8 for i in range(n)]
+    ppss = [(i * frame_pps) % 16_384_000 for i in range(n)]
+    mnscs = [0] * n
+    fcts = list(range(n))
+    ts_list = dec.update_eti_batch(fps, mnscs, ppss, fcts, C)
+    assert len(ts_list) == n // C
+    assert [t.fct for t in ts_list] == [0, 4, 8, 12]
+    assert [t.pps for t in ts_list] == [ppss[0], ppss[4], ppss[8], ppss[12]]
+
+
 def test_sdr_queue_overflow():
     class SlowDevice(LoopbackSdrDevice):
         def transmit_frame(self, samples, ts):
