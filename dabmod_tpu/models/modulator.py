@@ -24,7 +24,7 @@ import numpy as np
 from .. import tables
 from ..config import ModSettings
 from ..eti import EnsembleLayout, EtiFrameBatch
-from ..ops import fec, ofdm, filters
+from ..ops import cplx, fec, ofdm, filters
 
 
 class Modulator:
@@ -158,6 +158,9 @@ class Modulator:
                 for m in self._subch_masks),
             "tf_index": jnp.zeros((), jnp.int32),
         }
+        if self.settings.enable_cfr:
+            # rotating MER symbol index (ref: src/OfdmGenerator.cpp:198)
+            state["mer_index"] = jnp.zeros((), jnp.int32)
         if self._poly_plan:
             state["res_carry"] = jnp.zeros(
                 (2 * self._poly_plan.half, 2), jnp.float32)
@@ -238,15 +241,42 @@ class Modulator:
             td = ofdm.ofdm_ifft(bins)                      # [B, S, spacing]
 
         stats = {}
+        mer_state = {}
         if self.settings.enable_cfr:
             with jax.named_scope("cfr"):
+                before = td
                 td, n_clip, n_err = ofdm.cfr_one_iteration(
                     td, bins, self.settings.cfr_clip,
                     self.settings.cfr_error_clip)
                 stats["cfr_clip"] = n_clip
                 stats["cfr_errclip"] = n_err
+                # PAPR before/after CFR over the data symbols (the
+                # reference's PAPRStats blocks, src/OfdmGenerator.cpp:
+                # 234-250; the all-zero NULL symbol is excluded)
+                stats["papr_before_cfr"] = filters.papr_db(
+                    before[:, 1:].reshape(B, -1, 2))
                 stats["papr_after_cfr"] = filters.papr_db(
                     td[:, 1:].reshape(B, -1, 2))
+                # in-loop MER per ETSI ETR 290 Annex C on one rotating
+                # symbol per TF: CFR output vs the pre-CFR symbol
+                # (ref: src/OfdmGenerator.cpp:250-273).  Batched: TF b
+                # inspects symbol (mer_index + 1 + b) mod S; index 0 (the
+                # NULL symbol) yields no measurement.
+                S = td.shape[1]
+                mer_idx = (state["mer_index"] + 1
+                           + jnp.arange(B, dtype=jnp.int32)) % S
+                rows = jnp.arange(B, dtype=jnp.int32)
+                b_sym = before[rows, mer_idx]          # [B, spacing, 2]
+                a_sym = td[rows, mer_idx]
+                num = cplx.abs2(b_sym).sum(axis=-1)        # [B]
+                den = cplx.abs2(a_sym - b_sym).sum(axis=-1)
+                mer = jnp.where(
+                    den > 0,
+                    10.0 * jnp.log10(num / jnp.maximum(den, 1e-30)),
+                    90.0)                 # clamp, ref line 269-271
+                stats["mer_db"] = jnp.minimum(mer, 90.0)
+                stats["mer_valid"] = mer_idx > 0
+                mer_state["mer_index"] = (state["mer_index"] + B) % S
 
         with jax.named_scope("gain"):
             gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
@@ -266,10 +296,15 @@ class Modulator:
                 iq = filters.fir_filter(iq, self._fir_taps)
 
         new_state = {"ti_history": new_hist,
-                     "tf_index": state["tf_index"] + B}
+                     "tf_index": state["tf_index"] + B, **mer_state}
 
         if self._poly_plan:
             with jax.named_scope("resampler"):
+                # materialize the upstream (guard-interval/FIR) result:
+                # letting XLA fuse that producer chain into the banded
+                # matmul's operand regenerates it per tile (measured 10x+
+                # slowdown of the whole resampler stage)
+                iq = jax.lax.optimization_barrier(iq)
                 y, carry = filters.resample_poly(
                     iq.reshape(-1, 2), self._poly_plan, state["res_carry"])
                 new_state["res_carry"] = carry

@@ -52,6 +52,10 @@ class ModRuntime:
         self._t0 = None
         self._frames_timed = 0
         self.last_stats = {}
+        from collections import deque
+        self._clip_ratios = deque(maxlen=256)
+        self._errclip_ratios = deque(maxlen=256)
+        self._mers = deque(maxlen=256)
         self._enrol_rc()
         if settings.rc_telnet_port:
             rcs.add_telnet(settings.rc_telnet_port)
@@ -101,15 +105,28 @@ class ModRuntime:
         rcs.enrol(gain)
 
         ofdm_rc = RemoteControllable("ofdm")
+
+        def cfr_setter(attr, conv=float):
+            inner = setter(attr, conv, rebuild=True)
+
+            def f(value):
+                inner(value)
+                # clear the PAPR/MER accumulators on CFR changes
+                # (ref: src/OfdmGenerator.cpp:383-394 myPaprClearRequest)
+                self._clip_ratios.clear()
+                self._errclip_ratios.clear()
+                self._mers.clear()
+            return f
+
         ofdm_rc.add_parameter("cfr", "Enable crest factor reduction",
                               lambda: int(s.enable_cfr),
-                              setter("enable_cfr", boolconv, rebuild=True))
+                              cfr_setter("enable_cfr", boolconv))
         ofdm_rc.add_parameter("clip", "CFR: Clip to amplitude",
                               lambda: s.cfr_clip,
-                              setter("cfr_clip", rebuild=True))
+                              cfr_setter("cfr_clip"))
         ofdm_rc.add_parameter("errorclip", "CFR: Limit error",
                               lambda: s.cfr_error_clip,
-                              setter("cfr_error_clip", rebuild=True))
+                              cfr_setter("cfr_error_clip"))
         ofdm_rc.add_parameter(
             "clip_stats", "CFR: statistics (clip ratio, errorclip ratio)",
             self._clip_stats)
@@ -214,23 +231,41 @@ class ModRuntime:
                                        .as_seconds()))
         rcs.enrol(tist)
 
+    def _note_stats(self, stats):
+        """Fold one batch's device stats into the bounded RC accumulators
+        (the reference's myClipRatios/myErrorClipRatios/myMERs deques,
+        src/OfdmGenerator.cpp:277-300)."""
+        self.last_stats = stats
+        p = self.modulator.p
+        n = self.settings.batch_tf * p.spacing * (p.nb_symbols + 1)
+        if "cfr_clip" in stats:
+            self._clip_ratios.append(
+                float(np.asarray(stats["cfr_clip"]).sum()) / n)
+            self._errclip_ratios.append(
+                float(np.asarray(stats["cfr_errclip"]).sum()) / n)
+        if "mer_db" in stats:
+            mer = np.asarray(stats["mer_db"])
+            valid = np.asarray(stats["mer_valid"])
+            self._mers.extend(mer[valid].tolist())
+
     def _clip_stats(self):
-        st = self.last_stats
-        if "cfr_clip" not in st:
+        if not self._clip_ratios or not self._mers:
             return "No stats available"
-        n = self.settings.batch_tf * tables.mode_params(
-            self.modulator.mode).spacing * 77
-        clip = float(np.asarray(st["cfr_clip"]).sum()) / n
-        err = float(np.asarray(st["cfr_errclip"]).sum()) / n
+        clip = float(np.mean(self._clip_ratios))
+        err = float(np.mean(self._errclip_ratios))
+        mer = float(np.mean(self._mers))
+        # format per src/OfdmGenerator.cpp:437-441
         return (f"Statistics : {clip * 100:.6f}% samples clipped, "
-                f"{err * 100:.6f}% errors clipped.")
+                f"{err * 100:.6f}% errors clipped. "
+                f"MER after CFR: {mer:.6f} dB")
 
     def _papr_stats(self):
         st = self.last_stats
-        if "papr_after_cfr" not in st:
-            return "PAPR [dB]: N/A, N/A"
-        papr = float(np.asarray(st["papr_after_cfr"]).mean())
-        return f"PAPR [dB]: N/A, {papr:.6f}"
+        before = (f"{float(np.asarray(st['papr_before_cfr']).mean()):.6f}"
+                  if "papr_before_cfr" in st else "N/A")
+        after = (f"{float(np.asarray(st['papr_after_cfr']).mean()):.6f}"
+                 if "papr_after_cfr" in st else "N/A")
+        return f"PAPR [dB]: {before}, {after}"
 
     # ------------------------------------------------------------------
     def _ensure_modulator(self, layout):
@@ -378,7 +413,7 @@ class ModRuntime:
             iq, self.state, stats = self.modulator.modulate_eti(
                 batch, self.state)
             if stats:
-                self.last_stats = stats
+                self._note_stats(stats)
             meta = [(int(batch.fct[i * C]), tf_ts[i])
                     for i in range(len(tf_ts))]
             try:

@@ -141,3 +141,27 @@ def test_dpdce_engine_loop():
         stop.set()
         server.stop()
         rcs.shutdown()
+
+
+def test_cfr_stats_mer_and_papr():
+    """CFR batch stats: PAPR before > after, and the rotating-symbol MER
+    (ref: src/OfdmGenerator.cpp:234-273) sits between the error-clip floor
+    and the 90 dB clamp; mer_index advances by B per batch."""
+    layout = make_default_layout(1)
+    # clip/error_clip in the unnormalised-IFFT domain like the reference
+    # (doc/example.ini: clip=50, error_clip=0.1; IFFT RMS ~ sqrt(1536))
+    m = Modulator(layout, ModSettings(dab_mode=1, enable_cfr=True,
+                                      cfr_clip=30.0, cfr_error_clip=0.1))
+    raw = synth_eti_batch(16, mode=1)       # 4 TFs
+    state = m.init_state()
+    iq, state, stats = m.modulate_eti(parse_eti_frames(raw), state)
+    assert (float(np.asarray(stats["papr_before_cfr"]).mean())
+            > float(np.asarray(stats["papr_after_cfr"]).mean()))
+    mer = np.asarray(stats["mer_db"])
+    valid = np.asarray(stats["mer_valid"])
+    assert mer.shape == (4,) and valid.all()   # indices 1..4, none hit NULL
+    assert np.all(mer > 3.0) and np.all(mer <= 90.0)
+    assert int(state["mer_index"]) == 4
+    # run a second batch: the rotation continues from index 4
+    iq, state, stats = m.modulate_eti(parse_eti_frames(raw), state)
+    assert int(state["mer_index"]) == 8

@@ -24,7 +24,10 @@ STAGES = ["fec", "qpsk_map", "diff_mod", "carriers", "tii_null", "ofdm_ifft",
 
 def collect_device_times(logdir):
     """Aggregate XLA-op device time by named_scope prefix from an xplane."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
     totals = collections.Counter()
     total_ns = 0
     for path in glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
