@@ -79,9 +79,10 @@ class Modulator:
 
         # --- TII ---
         if s.tii_enable:
-            from ..ops import cplx
-            self._tii_vec = jnp.asarray(cplx.from_complex(tables.tii_symbol(
-                mode, s.tii_comb, s.tii_pattern, s.tii_old_variant)))
+            tii = tables.tii_symbol(
+                mode, s.tii_comb, s.tii_pattern, s.tii_old_variant)
+            self._tii_vec = tuple(
+                jnp.asarray(p) for p in cplx.planes_from_complex(tii))
         else:
             self._tii_vec = None
 
@@ -162,8 +163,9 @@ class Modulator:
             # rotating MER symbol index (ref: src/OfdmGenerator.cpp:198)
             state["mer_index"] = jnp.zeros((), jnp.int32)
         if self._poly_plan:
-            state["res_carry"] = jnp.zeros(
-                (2 * self._poly_plan.half, 2), jnp.float32)
+            h2 = 2 * self._poly_plan.half
+            state["res_carry"] = (jnp.zeros((h2,), jnp.float32),
+                                  jnp.zeros((h2,), jnp.float32))
         elif self._res_plan:
             state["res_in_tail"] = jnp.zeros(
                 (self._res_plan.fft_in // 2, 2), jnp.float32)
@@ -204,7 +206,7 @@ class Modulator:
         with jax.named_scope("diff_mod"):
             phases = ofdm.diff_modulate(q, self._ref_q)
         with jax.named_scope("carriers"):
-            out = ofdm.phases_to_carriers(phases)
+            out = ofdm.phases_to_carriers(phases)   # (re, im) planes
         return out, tuple(new_hist)
 
     def frontend(self, fic_bytes, subch_bytes, ti_history):
@@ -228,17 +230,21 @@ class Modulator:
             if self._tii_vec is not None:
                 # TII in the NULL symbol of every other TF
                 # (ref: src/TII.cpp:241-243)
-                insert = (tf_idx % 2 == 0).astype(jnp.float32)[:, None, None]
-                null_row = self._tii_vec[None, :, :] * insert
+                insert = (tf_idx % 2 == 0).astype(jnp.float32)[:, None]
+                null_row = tuple(v[None, :] * insert for v in self._tii_vec)
             else:
-                null_row = jnp.zeros((B, p.nb_carriers, 2), jnp.float32)
-            symbols = jnp.concatenate([null_row[:, None], data_syms], axis=1)
+                zero = jnp.zeros((B, p.nb_carriers), jnp.float32)
+                null_row = (zero, zero)
+            symbols = tuple(
+                jnp.concatenate([n[:, None], d], axis=1)
+                for n, d in zip(null_row, data_syms))
             if self._cic_taps is not None:
-                symbols = symbols * self._cic_taps[None, None, :, None]
+                symbols = cplx.pmap(
+                    lambda x: x * self._cic_taps[None, None, :], symbols)
 
         with jax.named_scope("ofdm_ifft"):
             bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
-            td = ofdm.ofdm_ifft(bins)                      # [B, S, spacing]
+            td = ofdm.ofdm_ifft(bins)            # planes [B, S, spacing]
 
         stats = {}
         mer_state = {}
@@ -253,23 +259,25 @@ class Modulator:
                 # PAPR before/after CFR over the data symbols (the
                 # reference's PAPRStats blocks, src/OfdmGenerator.cpp:
                 # 234-250; the all-zero NULL symbol is excluded)
-                stats["papr_before_cfr"] = filters.papr_db(
-                    before[:, 1:].reshape(B, -1, 2))
-                stats["papr_after_cfr"] = filters.papr_db(
-                    td[:, 1:].reshape(B, -1, 2))
+                data = lambda t: cplx.pmap(
+                    lambda x: x[:, 1:].reshape(B, -1), t)
+                stats["papr_before_cfr"] = filters.papr_db(data(before))
+                stats["papr_after_cfr"] = filters.papr_db(data(td))
                 # in-loop MER per ETSI ETR 290 Annex C on one rotating
                 # symbol per TF: CFR output vs the pre-CFR symbol
                 # (ref: src/OfdmGenerator.cpp:250-273).  Batched: TF b
                 # inspects symbol (mer_index + 1 + b) mod S; index 0 (the
                 # NULL symbol) yields no measurement.
-                S = td.shape[1]
+                S = td[0].shape[1]
                 mer_idx = (state["mer_index"] + 1
                            + jnp.arange(B, dtype=jnp.int32)) % S
                 rows = jnp.arange(B, dtype=jnp.int32)
-                b_sym = before[rows, mer_idx]          # [B, spacing, 2]
-                a_sym = td[rows, mer_idx]
-                num = cplx.abs2(b_sym).sum(axis=-1)        # [B]
-                den = cplx.abs2(a_sym - b_sym).sum(axis=-1)
+                pick = lambda t: cplx.pmap(lambda x: x[rows, mer_idx], t)
+                b_sym = pick(before)               # planes [B, spacing]
+                a_sym = pick(td)
+                num = cplx.pabs2(b_sym).sum(axis=-1)       # [B]
+                diff = (a_sym[0] - b_sym[0], a_sym[1] - b_sym[1])
+                den = cplx.pabs2(diff).sum(axis=-1)
                 mer = jnp.where(
                     den > 0,
                     10.0 * jnp.log10(num / jnp.maximum(den, 1e-30)),
@@ -289,7 +297,7 @@ class Modulator:
             else:
                 iq = ofdm.guard_interval_windowed(
                     td, p.null_size, p.sym_size,
-                    self.settings.ofdm_window_overlap)     # [B, tf_samples, 2]
+                    self.settings.ofdm_window_overlap)  # planes [B, tf]
 
         if self._fir_taps is not None:
             with jax.named_scope("fir"):
@@ -300,24 +308,22 @@ class Modulator:
 
         if self._poly_plan:
             with jax.named_scope("resampler"):
-                # materialize the upstream (guard-interval/FIR) result:
-                # letting XLA fuse that producer chain into the banded
-                # matmul's operand regenerates it per tile (measured 10x+
-                # slowdown of the whole resampler stage)
-                iq = jax.lax.optimization_barrier(iq)
                 y, carry = filters.resample_poly(
-                    iq.reshape(-1, 2), self._poly_plan, state["res_carry"])
+                    cplx.pmap(lambda x: x.reshape(-1), iq),
+                    self._poly_plan, state["res_carry"])
                 new_state["res_carry"] = carry
-                iq = y.reshape(B, -1, 2)
+                iq = cplx.pmap(lambda x: x.reshape(B, -1), y)
         elif self._res_plan:
             with jax.named_scope("resampler"):
-                flat = iq.reshape(-1, 2)
+                # rare decimation path: the pair-domain freq resampler
+                flat = cplx.planes_to_pairs(
+                    cplx.pmap(lambda x: x.reshape(-1), iq))
                 y, in_tail, out_tail = filters.resample(
                     flat, self._res_plan, state["res_in_tail"],
                     state["res_out_tail"])
                 new_state["res_in_tail"] = in_tail
                 new_state["res_out_tail"] = out_tail
-                iq = y.reshape(B, -1, 2)
+                iq = tuple(y[..., k].reshape(B, -1) for k in (0, 1))
 
         if self._poly_am is not None or self._lut is not None:
             with jax.named_scope("dpd"):
@@ -327,7 +333,9 @@ class Modulator:
                 else:
                     iq = filters.memless_lut(iq, self._lut, self._lut_scale)
 
-        return iq, new_state, stats
+        with jax.named_scope("interleave_out"):
+            out = cplx.planes_to_pairs(iq)       # [B, N, 2] wire form
+        return out, new_state, stats
 
     # ------------------------------------------------------------------
     def modulate(self, fic_bytes, subch_bytes, state):

@@ -30,20 +30,6 @@ _PRECISION = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 
-def _interleave_operator(T: np.ndarray) -> np.ndarray:
-    """Expand a banded sample-domain operator T[c, j] to act on the
-    interleaved I/Q stream: T2[2c, 2j] = T2[2c+1, 2j+1] = T[c, j].
-
-    Matmuls over the interleaved stream need no transposes at all -- the
-    pair-minor [..., N, 2] layout *is* the flat real stream -- where a
-    pair-axis einsum would put a size-2 axis in the 128-lane minor dim."""
-    F, O = T.shape
-    T2 = np.zeros((2 * F, 2 * O), dtype=T.dtype)
-    T2[0::2, 0::2] = T
-    T2[1::2, 1::2] = T
-    return T2
-
-
 @lru_cache(maxsize=None)
 def _fir_operator(taps_bytes: bytes, ntaps: int, block: int) -> np.ndarray:
     taps = np.frombuffer(taps_bytes, np.float32)
@@ -51,61 +37,61 @@ def _fir_operator(taps_bytes: bytes, ntaps: int, block: int) -> np.ndarray:
     T = np.zeros((F, block), np.float32)
     for i in range(block):
         T[i:i + ntaps, i] = taps
-    return _interleave_operator(T)
+    return T
 
 
-def fir_filter(x: jnp.ndarray, taps, block: int = 128) -> jnp.ndarray:
-    """x: [..., N, 2]; taps: [ntaps] float32 (host array) -> [..., N, 2].
+def _banded_apply(x: jnp.ndarray, T: jnp.ndarray, block: int,
+                  halo: int) -> jnp.ndarray:
+    """Apply a banded operator T [block+halo, out] to a real sample plane
+    [..., N] framed into `block` rows with a right halo.  All reshapes are
+    row-major bitcasts -- the plane form never leaves (8,128) tiling."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    nb = -(-n // block)
+    pad = (nb + 1) * block - n            # round up + halo source block
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    base = xp[..., :nb * block].reshape(*lead, nb, block)
+    ext = xp[..., block:(nb + 1) * block].reshape(*lead, nb, block)
+    frames = jnp.concatenate([base, ext[..., :halo]], axis=-1)
+    return jnp.einsum("...f,fo->...o", frames, T, precision=_PRECISION)
 
-    Banded-matmul formulation on the interleaved I/Q stream: the input is
-    framed into `block`-sample rows with an ntaps-sample right halo and
-    multiplied by the precomputed banded operator.  One HBM pass + MXU
-    work, vs ~ntaps passes for the shifted-add form (HBM-bound at 1000x
-    real-time).  The zero right-pad reproduces the reference's truncation
-    at the TF boundary (src/FIRFilter.cpp:218-226).
+
+def fir_filter(x, taps, block: int = 128):
+    """x: (re, im) planes [..., N]; taps: [ntaps] float32 -> planes.
+
+    Banded-matmul formulation: each plane is framed into `block`-sample
+    rows with an ntaps-sample right halo and multiplied by the precomputed
+    banded operator T[c, i] = taps[c - i].  One HBM pass + MXU work, vs
+    ~ntaps passes for the shifted-add form (HBM-bound at 1000x real-time).
+    The zero right-pad reproduces the reference's truncation at the TF
+    boundary (src/FIRFilter.cpp:218-226).
     """
     taps = np.asarray(taps, np.float32)
     ntaps = taps.size
-    T2 = jnp.asarray(_fir_operator(taps.tobytes(), ntaps, block))
-    n = x.shape[-2]
-    lead = x.shape[:-2]
-    nb = -(-n // block)
-    b2 = 2 * block
-    r = x.reshape(*lead, 2 * n)
-    pad = (nb + 1) * b2 - 2 * n           # round up + halo source block
-    rp = jnp.pad(r, [(0, 0)] * (x.ndim - 2) + [(0, pad)])
-    base = rp[..., :nb * b2].reshape(*lead, nb, b2)
-    ext = rp[..., b2:(nb + 1) * b2].reshape(*lead, nb, b2)
-    frames = jnp.concatenate([base, ext[..., :2 * ntaps]], axis=-1)
-    y = jnp.einsum("...f,fo->...o", frames, T2, precision=_PRECISION)
-    return y.reshape(*lead, nb * block, 2)[..., :n, :]
+    T = jnp.asarray(_fir_operator(taps.tobytes(), ntaps, block))
+    n = x[0].shape[-1]
+    lead = x[0].shape[:-1]
+
+    def one(p):
+        y = _banded_apply(p, T, block, ntaps)
+        return y.reshape(*lead, -1)[..., :n]
+    return cplx.pmap(one, x)
 
 
-def fir_filter_shifts(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+def fir_filter_shifts(x, taps: jnp.ndarray):
     """Shifted-add reference form of fir_filter (kept for validation)."""
     ntaps = taps.shape[0]
-    n = x.shape[-2]
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, ntaps), (0, 0)])
-    acc = xp[..., :n, :] * taps[0]
-    for j in range(1, ntaps):
-        acc = acc + xp[..., j:j + n, :] * taps[j]
-    return acc
+    n = x[0].shape[-1]
+
+    def one(p):
+        xp = jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, ntaps)])
+        acc = xp[..., :n] * taps[0]
+        for j in range(1, ntaps):
+            acc = acc + xp[..., j:j + n] * taps[j]
+        return acc
+    return cplx.pmap(one, x)
 
 
-def fir_filter_matmul(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """FIR via lax.conv (cross-correlation, which matches the reference's
-    forward-looking out[n] = sum_j in[n+j]*taps[j]); the I/Q pair axis is a
-    depthwise feature group.  x: [B, N, 2]."""
-    ntaps = taps.shape[0]
-    n = x.shape[-2]
-    lhs = jnp.moveaxis(x, -1, -2)                 # [B, 2, N]
-    kernel = jnp.broadcast_to(taps, (2, 1, ntaps))
-    out = jax.lax.conv_general_dilated(
-        lhs, kernel, window_strides=(1,),
-        padding=[(0, ntaps - 1)],                 # truncate at the TF end
-        feature_group_count=2,
-        precision=_PRECISION)
-    return jnp.moveaxis(out[..., :n], -2, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -208,8 +194,7 @@ class PolyphasePlan:
     half: int               # half-support in input samples
     block: int              # input samples per matmul row
     out_block: int          # block * L // M
-    matrix: np.ndarray      # interleaved-I/Q banded operator,
-    #                         [2*(block + 2*half), 2*out_block] float32
+    matrix: np.ndarray      # banded operator [block + 2*half, out_block]
 
     @classmethod
     def create(cls, input_rate: int, output_rate: int,
@@ -247,33 +232,36 @@ class PolyphasePlan:
                 tt = j * M - (c - half) * L
                 if -half * L <= tt <= half * L:
                     T[c, j] = proto[tt + half * L]
-        return cls(L, M, half, block, out_block,
-                   _interleave_operator(T.astype(np.float32)))
+        return cls(L, M, half, block, out_block, T.astype(np.float32))
 
 
-def resample_poly(x: jnp.ndarray, plan: PolyphasePlan, carry: jnp.ndarray):
-    """Polyphase L/M resampling of a flat pair stream.
+def resample_poly(x, plan: PolyphasePlan, carry):
+    """Polyphase L/M resampling of flat (re, im) sample planes.
 
-    x: [N, 2] with N a multiple of plan.block; carry: [2*half, 2] input
-    history.  Returns (y [N*L/M, 2], new_carry).  The output stream equals
-    the resampled input stream delayed by `half` input samples.
+    x: planes [N] with N a multiple of plan.block; carry: planes [2*half]
+    of input history.  Returns (y planes [N*L/M], new_carry).  The output
+    stream equals the resampled input stream delayed by `half` input
+    samples.
     """
-    n = x.shape[0]
     h2 = 2 * plan.half
-    nb = n // plan.block
-    b2 = 2 * plan.block
-    xp = jnp.concatenate([carry, x], axis=0)          # [N + 2h, 2]
-    r = xp.reshape(-1)                                # interleaved stream
-    base = r[:nb * b2].reshape(nb, b2)
-    # halo: the 2h samples following each block (next block's head; the
-    # final block's halo is the stream tail) -- slices, no gather
-    ext = r[b2:]
-    pad = nb * b2 - ext.shape[0]
-    ext = jnp.pad(ext, ((0, pad),)).reshape(nb, b2)
-    frames = jnp.concatenate([base, ext[:, :2 * h2]], axis=1)  # [nb, 2F]
-    y = jnp.einsum("nf,fo->no", frames, jnp.asarray(plan.matrix),
-                   precision=_PRECISION)
-    return y.reshape(-1, 2), xp[-h2:]
+    T = jnp.asarray(plan.matrix)
+
+    def one(p, c):
+        xp = jnp.concatenate([c, p], axis=0)          # [N + 2h]
+        nb = p.shape[0] // plan.block
+        base = xp[:nb * plan.block].reshape(nb, plan.block)
+        # halo: the 2h samples following each block (next block's head;
+        # the final block's halo is the stream tail) -- slices, no gather
+        ext = xp[plan.block:]
+        pad = nb * plan.block - ext.shape[0]
+        ext = jnp.pad(ext, ((0, pad),)).reshape(nb, plan.block)
+        frames = jnp.concatenate([base, ext[:, :h2]], axis=1)  # [nb, F]
+        y = jnp.einsum("nf,fo->no", frames, T, precision=_PRECISION)
+        return y.reshape(-1), xp[-h2:]
+
+    yr, cr = one(x[0], carry[0])
+    yi, ci = one(x[1], carry[1])
+    return (yr, yi), (cr, ci)
 
 
 # ---------------------------------------------------------------------------
@@ -281,33 +269,30 @@ def resample_poly(x: jnp.ndarray, plan: PolyphasePlan, carry: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def memless_poly(x: jnp.ndarray, coefs_am: jnp.ndarray,
-                 coefs_pm: jnp.ndarray) -> jnp.ndarray:
+def memless_poly(x, coefs_am: jnp.ndarray, coefs_pm: jnp.ndarray):
     """Odd-order AM/AM + AM/PM predistortion with the reference's sin/cos
-    series approximations (kept for output parity).  x: [..., 2]."""
-    m = cplx.abs2(x)
+    series approximations (kept for output parity).  x: (re, im) planes."""
+    m = cplx.pabs2(x)
     am = coefs_am[0] + m * (coefs_am[1] + m * (coefs_am[2] + m * (
         coefs_am[3] + m * coefs_am[4])))
     pm = -(coefs_pm[0] + m * (coefs_pm[1] + m * (coefs_pm[2] + m * (
         coefs_pm[3] + m * coefs_pm[4]))))
     p2 = pm * pm
     # reference's cos/sin polynomial approximations (coefficients as-is)
-    re = 1.0 - p2 * (-0.5 + p2 * (0.486666 + p2 * (-0.00138888)))
-    im = pm * (1.0 + p2 * (0.166666 + p2 * 0.00833333))
-    rot = jnp.stack([re, im], axis=-1)
-    return cplx.cmul(x * am[..., None], rot)
+    rot_r = 1.0 - p2 * (-0.5 + p2 * (0.486666 + p2 * (-0.00138888)))
+    rot_i = pm * (1.0 + p2 * (0.166666 + p2 * 0.00833333))
+    return cplx.pmul((x[0] * am, x[1] * am), (rot_r, rot_i))
 
 
-def memless_lut(x: jnp.ndarray, lut: jnp.ndarray,
-                scalefactor: float) -> jnp.ndarray:
+def memless_lut(x, lut: jnp.ndarray, scalefactor: float):
     """32-entry magnitude-binned LUT predistorter
     (ref: src/MemlessPoly.cpp:278-309).  lut: [32, 2] pairs."""
-    mag = jnp.sqrt(cplx.abs2(x))
+    mag = jnp.sqrt(cplx.pabs2(x))
     scaled = jnp.clip(jnp.round(mag * scalefactor), 0, 2.0**32 - 1)
     # top-5-bits bin index == scaled / 2^27, computed in float to avoid
     # unsupported 8/16-bit shifts on the device
     ix = jnp.clip((scaled / float(1 << 27)).astype(jnp.int32), 0, 31)
-    return cplx.cmul(x, lut[ix])
+    return cplx.pmul(x, (lut[ix, 0], lut[ix, 1]))
 
 
 # ---------------------------------------------------------------------------
@@ -365,10 +350,10 @@ def format_convert(x: jnp.ndarray, fmt: str):
 # ---------------------------------------------------------------------------
 
 
-def papr_db(x: jnp.ndarray, axis=-1) -> jnp.ndarray:
-    """Peak-to-average power ratio in dB; x is pair-domain, reduced over
-    the sample axis (axis counts in the pair-reduced view)."""
-    p = cplx.abs2(x)
+def papr_db(x, axis=-1) -> jnp.ndarray:
+    """Peak-to-average power ratio in dB; x is (re, im) planes, reduced
+    over the sample axis."""
+    p = cplx.pabs2(x)
     peak = jnp.max(p, axis=axis)
     mean = jnp.mean(p, axis=axis)
     return 10.0 * jnp.log10(peak / mean)

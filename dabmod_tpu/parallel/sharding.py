@@ -25,6 +25,35 @@ def make_mesh(n_devices: int | None = None, axis: str = "tf") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """Bring up the multi-host runtime (jax.distributed over DCN).
+
+    Each host contributes its local chips; afterwards jax.devices() is the
+    global device list and make_host_chip_mesh() spans all hosts.  The
+    reference has no distribution axis at all (SURVEY.md section 5) -- this
+    is the TPU framework's own scaling story.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_host_chip_mesh(n_hosts: int | None = None,
+                        chips_per_host: int | None = None) -> Mesh:
+    """Mesh(('host', 'chip')): TF batches scatter over hosts via DCN and
+    over chips via ICI.  In a jax.distributed run the host axis follows
+    process boundaries (jax.devices() is ordered by process)."""
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(jax.process_count(), 1)
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    devs = devs[:n_hosts * chips_per_host]
+    grid = np.array(devs).reshape(n_hosts, chips_per_host)
+    return Mesh(grid, ("host", "chip"))
+
+
 class ShardedModulator:
     """Runs a Modulator data-parallel over the TF axis of a device mesh.
 
@@ -36,8 +65,10 @@ class ShardedModulator:
     def __init__(self, modulator: Modulator, mesh: Mesh):
         self.m = modulator
         self.mesh = mesh
-        axis = mesh.axis_names[0]
-        self._shard_t = NamedSharding(mesh, P(axis))       # [T, ...] arrays
+        # shard the leading (ETI frame / TF) axis over ALL mesh axes --
+        # ('host', 'chip') meshes scatter frames over hosts first (DCN),
+        # then chips (ICI)
+        self._shard_t = NamedSharding(mesh, P(mesh.axis_names))
         self._replicated = NamedSharding(mesh, P())
 
         def step(fic_bytes, subch_bytes, state, constant_gain, var_k):
@@ -54,15 +85,28 @@ class ShardedModulator:
             donate_argnums=(2,))
 
     def init_state(self):
-        return jax.device_put(
-            self.m.init_state(),
-            jax.tree.map(lambda _: self._replicated, self.m.init_state()))
+        def put(x):
+            x = np.asarray(x)
+            if jax.process_count() > 1:
+                return jax.make_array_from_callback(
+                    x.shape, self._replicated, lambda idx: x[idx])
+            return jax.device_put(x, self._replicated)
+        return jax.tree.map(put, self.m.init_state())
+
+    def _put(self, x):
+        """Place a [T, ...] host array with the TF sharding.  Under
+        jax.distributed each process passes the same *global* array and
+        contributes its addressable shards."""
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                x.shape, self._shard_t, lambda idx: x[idx])
+        return jax.device_put(jnp.asarray(x), self._shard_t)
 
     def modulate(self, fic_bytes, subch_bytes, state):
         s = self.m.settings
-        fic = jax.device_put(jnp.asarray(fic_bytes), self._shard_t)
-        subs = tuple(jax.device_put(jnp.asarray(x), self._shard_t)
-                     for x in subch_bytes)
+        fic = self._put(fic_bytes)
+        subs = tuple(self._put(x) for x in subch_bytes)
         return self._step(fic, subs, state,
                           jnp.float32(s.normalise * s.digital_gain),
                           jnp.float32(s.gain_mode_variance))

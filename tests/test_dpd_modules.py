@@ -267,9 +267,9 @@ def test_lut_file_roundtrip_and_device_path(tmp_path):
     import jax.numpy as jnp
     from dabmod_tpu.ops.filters import memless_lut
 
-    x_pairs = np.stack([tx.real, tx.imag], -1).astype(np.float32)
-    dev = np.asarray(memless_lut(jnp.asarray(x_pairs), jnp.asarray(pairs),
-                                 scale))
+    planes = (jnp.asarray(tx.real.astype(np.float32)),
+              jnp.asarray(tx.imag.astype(np.float32)))
+    dr, di = memless_lut(planes, jnp.asarray(pairs), scale)
     host = lut.apply(tx.astype(np.complex64))
-    np.testing.assert_allclose(dev[:, 0] + 1j * dev[:, 1], host,
+    np.testing.assert_allclose(np.asarray(dr) + 1j * np.asarray(di), host,
                                rtol=2e-4, atol=2e-6)

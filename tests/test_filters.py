@@ -33,14 +33,21 @@ def _fir_ref(x, taps):
     return out
 
 
-@pytest.mark.parametrize("impl", ["direct", "matmul"])
+def _planes(x, lead=False):
+    re, im = cplx.planes_from_complex(x)
+    if lead:
+        re, im = re[None], im[None]
+    return jnp.asarray(re), jnp.asarray(im)
+
+
+@pytest.mark.parametrize("impl", ["banded", "shifts"])
 def test_fir(impl):
     from dabmod_tpu.tables import DEFAULT_FIR_TAPS
     x = _rand_c(3000, seed=2)
     expect = _fir_ref(x, DEFAULT_FIR_TAPS)
-    fn = filters.fir_filter if impl == "direct" else filters.fir_filter_matmul
-    got = cplx.to_complex(fn(jnp.asarray(cplx.from_complex(x))[None],
-                             jnp.asarray(DEFAULT_FIR_TAPS))[0])
+    fn = filters.fir_filter if impl == "banded" else filters.fir_filter_shifts
+    yr, yi = fn(_planes(x, lead=True), jnp.asarray(DEFAULT_FIR_TAPS))
+    got = cplx.planes_to_complex((yr[0], yi[0]))
     np.testing.assert_allclose(got, expect, atol=1e-4)
 
 
@@ -129,8 +136,8 @@ def test_memless_poly():
     im = ph * (1.0 + p2 * (0.166666 + p2 * 0.00833333))
     expect = (x * a * (re + 1j * im)).astype(np.complex64)
 
-    got = cplx.to_complex(filters.memless_poly(
-        jnp.asarray(cplx.from_complex(x)), jnp.asarray(am), jnp.asarray(pm)))
+    got = cplx.planes_to_complex(filters.memless_poly(
+        _planes(x), jnp.asarray(am), jnp.asarray(pm)))
     np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
@@ -142,9 +149,8 @@ def test_memless_lut():
     mag = np.abs(x)
     ix = np.minimum((np.rint(mag * scalefactor)).astype(np.uint64) >> 27, 31)
     expect = (x * lut[ix.astype(int)]).astype(np.complex64)
-    got = cplx.to_complex(filters.memless_lut(
-        jnp.asarray(cplx.from_complex(x)),
-        jnp.asarray(cplx.from_complex(lut)), scalefactor))
+    got = cplx.planes_to_complex(filters.memless_lut(
+        _planes(x), jnp.asarray(cplx.from_complex(lut)), scalefactor))
     np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
@@ -163,6 +169,6 @@ def test_papr():
     x = np.zeros(1024, np.complex64)
     x[:] = 1.0
     x[0] = 4.0      # peak power 16, mean ~ (16+1023)/1024
-    got = float(filters.papr_db(jnp.asarray(cplx.from_complex(x)), axis=0))
+    got = float(filters.papr_db(_planes(x), axis=0))
     mean = (16 + 1023) / 1024
     assert abs(got - 10 * np.log10(16 / mean)) < 1e-3

@@ -28,7 +28,7 @@ def test_qpsk_mapping():
     expect = load("qpsk_out")
     bits = jnp.asarray(np.unpackbits(data))[None]
     q = ofdm.qpsk_phase_indices(bits, 1536)
-    got = cplx.to_complex(ofdm.phases_to_carriers(q)).reshape(-1)
+    got = cplx.planes_to_complex(ofdm.phases_to_carriers(q)).reshape(-1)
     np.testing.assert_array_equal(got, expect)
 
 
@@ -66,8 +66,9 @@ def test_diff_modulator():
     chain[0] = ref_c
     for s in range(75):
         chain[s + 1] = (chain[s] * vals[s]).astype(np.complex64)
-    got = cplx.to_complex(ofdm.phases_to_carriers(ofdm.diff_modulate(
-        jnp.asarray(q_in)[None], jnp.asarray(tables.phase_ref_eighths(1))))[0])
+    got = cplx.planes_to_complex(ofdm.phases_to_carriers(ofdm.diff_modulate(
+        jnp.asarray(q_in)[None],
+        jnp.asarray(tables.phase_ref_eighths(1)))))[0]
     # phase-domain result must match the float32 product chain to float eps
     np.testing.assert_allclose(got, chain, atol=2e-6)
     # and the reference's own output on its (unquantized) input validates the
@@ -117,7 +118,8 @@ def test_ofdm_ifft_definition():
     rng = np.random.default_rng(7)
     x = (rng.standard_normal((3, 128)) + 1j * rng.standard_normal((3, 128))
          ).astype(np.complex64)
-    got = cplx.to_complex(ofdm.ofdm_ifft(jnp.asarray(cplx.from_complex(x))))
+    got = cplx.planes_to_complex(ofdm.ofdm_ifft(
+        tuple(jnp.asarray(p) for p in cplx.planes_from_complex(x))))
     n = 128
     k = np.arange(n)
     w = np.exp(2j * np.pi * np.outer(k, k) / n)   # FFTW backward kernel
@@ -142,6 +144,7 @@ def test_guard_interval_windowed_slices():
     x = rng.standard_normal((2, 77, 2048, 2)).astype(np.float32)
     gi = tuple(jnp.asarray(a) for a in tables.guard_interval_tables(1, 90))
     ref = np.asarray(ofdm.guard_interval(jnp.asarray(x), gi))
-    got = np.asarray(ofdm.guard_interval_windowed(jnp.asarray(x),
-                                                  2656, 2552, 90))
+    planes = (jnp.asarray(x[..., 0]), jnp.asarray(x[..., 1]))
+    gr, gi_ = ofdm.guard_interval_windowed(planes, 2656, 2552, 90)
+    got = np.stack([np.asarray(gr), np.asarray(gi_)], axis=-1)
     np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -18,11 +18,13 @@ def test_pallas_backend_matches_xla(gain_mode):
     fn = make_backend(p, gain_mode, interpret=True)
     got = np.asarray(fn(jnp.asarray(syms), jnp.float32(0.5),
                         jnp.float32(4.0)))
-    bins = ofdm.to_bins_slices(jnp.asarray(syms), 1536, 2048)
+    planes = (jnp.asarray(syms[..., 0]), jnp.asarray(syms[..., 1]))
+    bins = ofdm.to_bins_slices(planes, 1536, 2048)
     td = ofdm.ofdm_ifft(bins)
     gains = ofdm.compute_gain(td, gain_mode, 4.0)
     td = ofdm.apply_gain(td, gains, 0.5)
-    ref = np.asarray(ofdm.guard_interval_unwindowed(td, 2656, 2552))
+    gr, gi = ofdm.guard_interval_unwindowed(td, 2656, 2552)
+    ref = np.stack([np.asarray(gr), np.asarray(gi)], axis=-1)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-4)
 

@@ -27,7 +27,7 @@ def test_frontend_matches_reference_chain():
     hist = tuple(jnp.zeros((15, int(mm.shape[1])), jnp.int32)
                  for mm in m._subch_masks)
     syms, _ = m.frontend(fic, (sub0, sub1), hist)
-    got = cplx.to_complex(syms)
+    got = cplx.planes_to_complex(syms)
     assert got.shape == (2, 76, 1536)
     # the reference accumulates float32 rounding through its product chain;
     # our phase-domain result is exact, so compare with float32 eps
@@ -90,7 +90,8 @@ def test_gain_modes():
     rng = np.random.default_rng(3)
     x = (rng.standard_normal((1, 3, 256)) + 1j * rng.standard_normal((1, 3, 256))
          ).astype(np.complex64)
-    x_pairs = jnp.asarray(cplx.from_complex(x))
+    x_planes = (jnp.asarray(x.real.astype(np.float32)),
+                jnp.asarray(x.imag.astype(np.float32)))
     # independent NumPy implementation of the reference's scalar formulas
     # (src/GainControl.cpp:344-502)
     def ref_gain(sym, mode, k=4.0):
@@ -107,7 +108,7 @@ def test_gain_modes():
         return 1.0 if int(sig) == 0 else 32767.0 / sig
 
     for mode in (ofdm.GAIN_FIX, ofdm.GAIN_MAX, ofdm.GAIN_VAR):
-        gains = np.asarray(ofdm.compute_gain(x_pairs, mode, 4.0))[0]
+        gains = np.asarray(ofdm.compute_gain(x_planes, mode, 4.0))[0]
         expect = [ref_gain(x[0, s], mode) for s in range(3)]
         # NULL symbol (index 0) borrows symbol 1's gain
         np.testing.assert_allclose(gains, [expect[1], expect[1], expect[2]],
@@ -127,8 +128,12 @@ def test_cfr_reduces_papr():
     m2 = Modulator(layout, ModSettings(dab_mode=1))
     iq2, _, _ = m2.modulate_eti(parse_eti_frames(raw), m2.init_state())
     from dabmod_tpu.ops.filters import papr_db
-    p_with = float(papr_db(jnp.asarray(iq[:, 2656:]).reshape(-1, 2), axis=0))
-    p_without = float(papr_db(jnp.asarray(iq2[:, 2656:]).reshape(-1, 2), axis=0))
+    def papr_pairs(a):
+        flat = np.asarray(a).reshape(-1, 2)
+        return float(papr_db((jnp.asarray(flat[:, 0]),
+                              jnp.asarray(flat[:, 1])), axis=0))
+    p_with = papr_pairs(iq[:, 2656:])
+    p_without = papr_pairs(iq2[:, 2656:])
     assert p_with < p_without
 
 
@@ -148,5 +153,5 @@ def test_frontend_matches_reference_other_modes(mode):
     hist = tuple(jnp.zeros((15, int(mm.shape[1])), jnp.int32)
                  for mm in m._subch_masks)
     syms, _ = m.frontend(fic, (sub,), hist)
-    got = cplx.to_complex(syms)
+    got = cplx.planes_to_complex(syms)
     np.testing.assert_allclose(got, expect, atol=4e-6)

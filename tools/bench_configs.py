@@ -38,6 +38,9 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
     layout = make_default_layout(mode, subch_specs=specs)
     m = Modulator(layout, ModSettings(dab_mode=mode, **settings_kw))
     p = tables.mode_params(mode)
+    # equal signal duration per device step across modes: TM-II/III/IV TFs
+    # are 24 ms vs TM-I's 96 ms, so batch 4x as many of them
+    batch_tf *= round(96 * 2048 / p.tf_samples)
 
     n_stage = 4
     staged = []

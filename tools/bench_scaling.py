@@ -1,64 +1,199 @@
 #!/usr/bin/env python
-"""Scaling-efficiency benchmark over a virtual N-device CPU mesh.
+"""Multi-host scaling benchmark: N separate processes, each a "host" with
+2 virtual CPU chips, joined with jax.distributed over localhost and meshed
+as Mesh(('host', 'chip')).
 
-Measures the sharded modulator at 1/2/4/8 devices and prints per-device
-efficiency.  CPU-mesh timings demonstrate the sharding harness (real ICI
-scaling requires a pod slice; the sharding path is identical).
+Weak-scaling measurement: the per-chip batch is fixed, so ideal scaling is
+throughput proportional to total chips; efficiency = T_N / (N * T_1).
+
+CPU-mesh timings validate the multi-process mesh/collective path and
+measure its orchestration overhead (real ICI/DCN scaling needs a pod
+slice; the sharding code is identical).  The reference is single-process
+only (SURVEY.md section 2.7) -- this axis is the TPU framework's own.
+
+Usage: python tools/bench_scaling.py [--hosts 1,2,4]  (parent)
 """
+import argparse
+import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".."))
-if os.environ.get("PALLAS_AXON_POOL_IPS"):
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-import jax
-import jax.numpy as jnp
-
-from dabmod_tpu.config import ModSettings
-from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
-from dabmod_tpu.models import Modulator, make_default_layout
-from dabmod_tpu.parallel.sharding import ShardedModulator, make_mesh
+CHIPS_PER_HOST = 2
+BATCH_PER_CHIP = 8
+ITERS = 4
 
 
-def measure(n_dev, batch_per_dev=2, iters=8):
+def worker(n_hosts: int, rank: int, port: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
+    from dabmod_tpu.models import Modulator, make_default_layout
+    from dabmod_tpu.parallel.sharding import (ShardedModulator,
+                                              init_distributed,
+                                              make_host_chip_mesh)
+
+    if n_hosts > 1:
+        init_distributed(f"localhost:{port}", n_hosts, rank)
+    assert len(jax.devices()) == n_hosts * CHIPS_PER_HOST, (
+        len(jax.devices()), n_hosts)
+
     specs = ((0, 24, 0x22), (48, 48, 0x02))
     layout = make_default_layout(1, subch_specs=specs)
     m = Modulator(layout, ModSettings(dab_mode=1))
-    B = n_dev * batch_per_dev
+    B = n_hosts * CHIPS_PER_HOST * BATCH_PER_CHIP
     raw = synth_eti_batch(B * 4, mode=1, subch_specs=specs)
     b = parse_eti_frames(raw)
-    sm = ShardedModulator(m, make_mesh(n_dev))
+
+    mesh = make_host_chip_mesh(n_hosts, CHIPS_PER_HOST)
+    sm = ShardedModulator(m, mesh)
     state = sm.init_state()
     iq, state, _ = sm.modulate(b.fic, tuple(b.subchannels), state)
     iq.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(ITERS):
         iq, state, _ = sm.modulate(b.fic, tuple(b.subchannels), state)
     iq.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return B * 196608 / dt
+    dt = (time.perf_counter() - t0) / ITERS
+
+    # cross-host correctness: global checksum of the final sharded batch
+    # must equal the single-process unsharded replay
+    import jax.numpy as jnp
+    chk = float(jax.jit(lambda a: jnp.sum(jnp.abs(a)))(iq))
+    if rank == 0:
+        ref_state = m.init_state()
+        for _ in range(ITERS + 1):
+            ref, ref_state, _ = m.modulate_eti(b, ref_state)
+        ref_chk = float(jnp.sum(jnp.abs(ref)))
+        print(json.dumps({"hosts": n_hosts,
+                          "chips": n_hosts * CHIPS_PER_HOST,
+                          "samples_per_s": B * 196608 / dt,
+                          "checksum": chk, "checksum_ref": ref_chk,
+                          "checksum_ok": abs(chk - ref_chk)
+                          <= 1e-4 * abs(ref_chk)}), flush=True)
+
+
+def single_process(chip_counts) -> list:
+    """Chip-axis scaling inside one process (8 virtual CPU devices):
+    in-process collectives model the ICI path; the multi-process mode
+    above models the DCN/host axis."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
+    from dabmod_tpu.models import Modulator, make_default_layout
+    from dabmod_tpu.parallel.sharding import ShardedModulator, make_mesh
+
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(1, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=1))
+    rows = []
+    base = None
+    for n in chip_counts:
+        B = n * BATCH_PER_CHIP
+        raw = synth_eti_batch(B * 4, mode=1, subch_specs=specs)
+        b = parse_eti_frames(raw)
+        sm = ShardedModulator(m, make_mesh(n))
+        state = sm.init_state()
+        iq, state, _ = sm.modulate(b.fic, tuple(b.subchannels), state)
+        iq.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            iq, state, _ = sm.modulate(b.fic, tuple(b.subchannels), state)
+        iq.block_until_ready()
+        dt = (time.perf_counter() - t0) / ITERS
+        r = {"chips": n, "samples_per_s": B * 196608 / dt}
+        if base is None:
+            base = r["samples_per_s"]
+        r["efficiency"] = r["samples_per_s"] / (n * base)
+        rows.append(r)
+        print(f"chips={n} {r['samples_per_s'] / 1e6:8.1f} MS/s  "
+              f"efficiency={r['efficiency']:.2f}", flush=True)
+    return rows
+
+
+def run_config(n_hosts: int, port: int) -> dict:
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # do not claim the tunnelled TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + [f"--xla_force_host_platform_device_count={CHIPS_PER_HOST}"])
+    procs = []
+    for rank in range(n_hosts):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--n-hosts", str(n_hosts), "--rank", str(rank),
+             "--port", str(port)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE if rank == 0 else subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, text=True))
+    out, _ = procs[0].communicate(timeout=600)
+    for p in procs[1:]:
+        p.wait(timeout=60)
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main():
-    print("NOTE: virtual CPU devices share the same physical cores; this "
-          "validates the sharding harness, not ICI scaling (needs a pod "
-          "slice).")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--n-hosts", type=int, default=1)
+    ap.add_argument("--rank", type=int, default=0)
+    ap.add_argument("--port", type=int, default=37371)
+    ap.add_argument("--hosts", default="1,2,4")
+    ap.add_argument("--chips", default=None,
+                    help="run single-process chip-axis scaling instead, "
+                    "e.g. --chips 1,2,4,8")
+    ap.add_argument("--json", dest="json_out", default=None)
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.n_hosts, args.rank, args.port)
+        return
+
+    if args.chips:
+        if os.environ.get("PALLAS_AXON_POOL_IPS"):
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            flags = [f for f in env.get("XLA_FLAGS", "").split()
+                     if "host_platform_device_count" not in f]
+            nmax = max(int(x) for x in args.chips.split(","))
+            env["XLA_FLAGS"] = " ".join(
+                flags + [f"--xla_force_host_platform_device_count={nmax}"])
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        rows = single_process([int(x) for x in args.chips.split(",")])
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(rows, f, indent=1)
+        return
+
+    rows = []
     base = None
-    for n in (1, 2, 4, 8):
-        sps = measure(n)
-        if base is None:
-            base = sps
-        eff = sps / (base * n) * 100
-        print(f"devices={n}: {sps/1e6:8.1f} MS/s   "
-              f"scaling efficiency {eff:5.1f}%")
+    for i, n in enumerate(int(x) for x in args.hosts.split(",")):
+        r = run_config(n, args.port + i)
+        if base is None and r["hosts"] == 1:
+            base = r["samples_per_s"]
+        r["efficiency"] = (r["samples_per_s"] / (r["hosts"] * base)
+                           if base else None)
+        rows.append(r)
+        eff = f"{r['efficiency']:.2f}" if r["efficiency"] else "n/a"
+        ok = "ok" if r.get("checksum_ok") else "MISMATCH"
+        print(f"hosts={r['hosts']} chips={r['chips']} "
+              f"{r['samples_per_s'] / 1e6:8.1f} MS/s  efficiency={eff}  "
+              f"output={ok}", flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":
