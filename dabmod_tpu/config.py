@@ -54,6 +54,10 @@ class ModSettings:
     enable_cfr: bool = False
     cfr_clip: float = 0.0
     cfr_error_clip: float = 0.0
+    # OFDM transform backend: "auto" uses the fused Pallas VMEM kernel
+    # (ops/ofdm_kernel.py) on real TPU hardware and the XLA matmul path
+    # elsewhere; "xla" / "pallas" / "pallas-interpret" force a choice.
+    ofdm_backend: str = "auto"
     # OFDM windowing
     ofdm_window_overlap: int = 0
     # FIR

@@ -29,10 +29,13 @@ def run_engine(rc_endpoint: str, feedback_host: str, feedback_port: int,
                iterations: int = 10, samples_per_burst: int = 40960,
                coef_path: str = "/tmp/dabmod_tpu_poly.coef",
                learning_rate: float | None = None,
-               sleep_s: float = 0.1, model_kind: str = "poly"):
+               sleep_s: float = 0.1, model_kind: str = "poly",
+               status_cb=None, stop_event=None):
     """Closed adaptation loop.  `model_kind` selects the polynomial or
     LUT predistorter; with learning_rate=None the reference's annealing
-    schedule (Heuristics.get_learning_rate) is used."""
+    schedule (Heuristics.get_learning_rate) is used.  `status_cb(dict)` is
+    invoked after each iteration (the GUI's DPD panel consumes it) and
+    `stop_event` aborts the loop early (threading.Event)."""
     measure = Measure(feedback_host, feedback_port, samples_per_burst)
     adapt = Adapt(rc_endpoint, coef_path)
     fixed_lr = learning_rate
@@ -40,13 +43,20 @@ def run_engine(rc_endpoint: str, feedback_host: str, feedback_port: int,
              else Poly(learning_rate_am=fixed_lr or 0.4,
                        learning_rate_pm=fixed_lr or 0.4))
 
+    def report(**kw):
+        if status_cb is not None:
+            status_cb({"model": model_kind, **kw})
+
     for i in range(iterations):
+        if stop_event is not None and stop_event.is_set():
+            break
         lr = fixed_lr if fixed_lr is not None else get_learning_rate(i)
         tx, tx_ts, rx, rx_ts = measure.get_samples()
         if tx.size == 0 or not (np.all(np.isfinite(tx))
                                 and np.all(np.isfinite(rx))
                                 and np.any(rx)):
             log.warning("empty/invalid burst, retrying")
+            report(iteration=i, state="empty_burst")
             time.sleep(sleep_s)
             continue
         peak = float(np.abs(tx).max()) or 1.0
@@ -58,12 +68,14 @@ def run_engine(rc_endpoint: str, feedback_host: str, feedback_port: int,
             adapt.set_predistorter(model.get_dpd_data())
             resid = float(np.mean(np.abs(model.apply(txn) - txn) ** 2))
             log.info("iteration %d: lut residual %.3e", i, resid)
+            report(iteration=i, state="adapted", residual=resid, lr=lr)
             time.sleep(sleep_s)
             continue
         es = ExtractStatistic(peak_amplitude=1.0)
         tx_avg, rx_avg, ph = es.extract(txn, rxn)
         if tx_avg.size < 8:
             log.warning("iteration %d: not enough bins (%d)", i, tx_avg.size)
+            report(iteration=i, state="too_few_bins", bins=int(tx_avg.size))
             time.sleep(sleep_s)
             continue
         model.learning_rate_am = model.learning_rate_pm = lr
@@ -73,6 +85,10 @@ def run_engine(rc_endpoint: str, feedback_host: str, feedback_port: int,
         log.info("iteration %d: %d bins, am residual %.3e, coefs %s",
                  i, tx_avg.size, resid,
                  np.round(model.coefs_am, 4).tolist())
+        report(iteration=i, state="adapted", residual=resid, lr=lr,
+               bins=int(tx_avg.size),
+               coefs_am=np.round(model.coefs_am, 6).tolist(),
+               coefs_pm=np.round(model.coefs_pm, 6).tolist())
         time.sleep(sleep_s)
     return model
 

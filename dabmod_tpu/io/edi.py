@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import socket
+import time
 
 import numpy as np
 
@@ -76,6 +77,11 @@ class TagDispatcher:
         self._af_packet_completed = af_packet_completed
         self._pft = Pft(max_delay_packets)
         self._ignored: set[bytes] = set()
+        # AF SEQ continuity monitor (ref: lib/edi/common.cpp checks the
+        # sequence field and logs discontinuities)
+        self._last_seq: int | None = None
+        self.num_af_packets = 0
+        self.num_seq_gaps = 0
 
     def register_tag(self, prefix: str, handler):
         self._handlers[prefix.encode()] = handler
@@ -141,6 +147,14 @@ class TagDispatcher:
                 data[total - 2:total], "big"):
             log.warning("EDI AF packet CRC wrong")
             return total, False
+        seq = int.from_bytes(data[6:8], "big")
+        self.num_af_packets += 1
+        if self._last_seq is not None and \
+                seq != ((self._last_seq + 1) & 0xFFFF):
+            self.num_seq_gaps += 1
+            log.warning("EDI AF SEQ discontinuity: %d -> %d",
+                        self._last_seq, seq)
+        self._last_seq = seq
         payload = data[AFPACKET_HEADER_LEN:AFPACKET_HEADER_LEN + taglength]
         return total, self._decode_tagpacket(payload)
 
@@ -578,19 +592,55 @@ class EdiUdpTransport:
 
 
 class EdiTcpTransport:
-    def __init__(self, uri: str, timeout: float = 1.0):
+    """TCP EDI source with reconnect-on-drop
+    (ref: src/EtiReader.cpp:599-667 runs a reconnect loop)."""
+
+    def __init__(self, uri: str, timeout: float = 1.0,
+                 reconnect_delay: float = 1.0):
         body = uri[len("tcp://"):]
         host, port = body.rsplit(":", 1)
-        self.sock = socket.create_connection((host, int(port)))
-        self.sock.settimeout(timeout)
+        self._addr = (host, int(port))
+        self._timeout = timeout
+        self._reconnect_delay = reconnect_delay
+        self.num_reconnects = 0
+        self.sock: socket.socket | None = None
+        self._connect(initial=True)
+
+    def _connect(self, initial: bool = False) -> bool:
+        try:
+            self.sock = socket.create_connection(
+                self._addr, timeout=self._timeout)
+            self.sock.settimeout(self._timeout)
+            return True
+        except OSError:
+            if initial:
+                raise
+            self.sock = None
+            return False
 
     def rx_packet(self, dispatcher: TagDispatcher) -> bool:
+        if self.sock is None:
+            time.sleep(self._reconnect_delay)
+            if not self._connect():
+                return False
+            self.num_reconnects += 1
+            log.info("EDI TCP reconnected to %s:%d (count %d)",
+                     self._addr[0], self._addr[1], self.num_reconnects)
         try:
             # 512-byte chunks like the reference, to avoid double-AF decode
             data = self.sock.recv(512)
         except socket.timeout:
             return False
+        except OSError:
+            data = b""
         if not data:
+            # peer closed or connection error: drop partial frame state
+            # and reconnect on the next call
+            try:
+                self.sock.close()
+            finally:
+                self.sock = None
+            dispatcher.push_bytes(b"")
             return False
         dispatcher.push_bytes(data)
         return True

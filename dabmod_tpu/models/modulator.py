@@ -140,6 +140,20 @@ class Modulator:
                 self._lut = jnp.asarray(lut)
                 self._lut_scale = float(scalefactor)
 
+        # --- fused OFDM/CFR backend (Pallas VMEM kernel on TPU) ---
+        self._ofdm_backend = None
+        backend = s.ofdm_backend
+        if backend == "auto":
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       else "xla")
+        if backend in ("pallas", "pallas-interpret") \
+                and p.spacing % 128 == 0:
+            from ..ops.ofdm_kernel import build_ofdm_backend
+            self._ofdm_backend = build_ofdm_backend(
+                p.spacing, s.enable_cfr, s.cfr_clip, s.cfr_error_clip,
+                precision=fft_mod._PRECISION,
+                interpret=(backend == "pallas-interpret"))
+
         self._modulate = jax.jit(self._modulate_impl, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
@@ -244,25 +258,17 @@ class Modulator:
 
         with jax.named_scope("ofdm_ifft"):
             bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
-            td = ofdm.ofdm_ifft(bins)            # planes [B, S, spacing]
+            kstats = None
+            if self._ofdm_backend is not None:
+                # fused VMEM kernel: IFFT (+ CFR + per-symbol statistics)
+                td, kstats = self._ofdm_backend(bins)
+            else:
+                td = ofdm.ofdm_ifft(bins)        # planes [B, S, spacing]
 
         stats = {}
         mer_state = {}
         if self.settings.enable_cfr:
             with jax.named_scope("cfr"):
-                before = td
-                td, n_clip, n_err = ofdm.cfr_one_iteration(
-                    td, bins, self.settings.cfr_clip,
-                    self.settings.cfr_error_clip)
-                stats["cfr_clip"] = n_clip
-                stats["cfr_errclip"] = n_err
-                # PAPR before/after CFR over the data symbols (the
-                # reference's PAPRStats blocks, src/OfdmGenerator.cpp:
-                # 234-250; the all-zero NULL symbol is excluded)
-                data = lambda t: cplx.pmap(
-                    lambda x: x[:, 1:].reshape(B, -1), t)
-                stats["papr_before_cfr"] = filters.papr_db(data(before))
-                stats["papr_after_cfr"] = filters.papr_db(data(td))
                 # in-loop MER per ETSI ETR 290 Annex C on one rotating
                 # symbol per TF: CFR output vs the pre-CFR symbol
                 # (ref: src/OfdmGenerator.cpp:250-273).  Batched: TF b
@@ -272,12 +278,46 @@ class Modulator:
                 mer_idx = (state["mer_index"] + 1
                            + jnp.arange(B, dtype=jnp.int32)) % S
                 rows = jnp.arange(B, dtype=jnp.int32)
-                pick = lambda t: cplx.pmap(lambda x: x[rows, mer_idx], t)
-                b_sym = pick(before)               # planes [B, spacing]
-                a_sym = pick(td)
-                num = cplx.pabs2(b_sym).sum(axis=-1)       # [B]
-                diff = (a_sym[0] - b_sym[0], a_sym[1] - b_sym[1])
-                den = cplx.pabs2(diff).sum(axis=-1)
+                if kstats is not None:
+                    # the fused kernel already applied CFR; reduce its
+                    # per-symbol statistics (PAPR over data symbols only,
+                    # the all-zero NULL row is excluded)
+                    from ..ops import ofdm_kernel as ok
+                    n_data = (S - 1) * td[0].shape[2]
+                    stats["cfr_clip"] = kstats[..., ok.ST_NCLIP].sum(
+                        axis=1).astype(jnp.int32)
+                    stats["cfr_errclip"] = kstats[..., ok.ST_NERRCLIP].sum(
+                        axis=1).astype(jnp.int32)
+                    for key, pk, pw in (
+                            ("papr_before_cfr", ok.ST_PEAK_BEFORE,
+                             ok.ST_POW_BEFORE),
+                            ("papr_after_cfr", ok.ST_PEAK_AFTER,
+                             ok.ST_POW_AFTER)):
+                        peak = jnp.max(kstats[:, 1:, pk], axis=1)
+                        mean = jnp.sum(kstats[:, 1:, pw], axis=1) / n_data
+                        stats[key] = 10.0 * jnp.log10(peak / mean)
+                    num = kstats[rows, mer_idx, ok.ST_POW_BEFORE]
+                    den = kstats[rows, mer_idx, ok.ST_MER_DEN]
+                else:
+                    before = td
+                    td, n_clip, n_err = ofdm.cfr_one_iteration(
+                        td, bins, self.settings.cfr_clip,
+                        self.settings.cfr_error_clip)
+                    stats["cfr_clip"] = n_clip
+                    stats["cfr_errclip"] = n_err
+                    # PAPR before/after CFR over the data symbols (the
+                    # reference's PAPRStats blocks, src/OfdmGenerator.cpp:
+                    # 234-250; the all-zero NULL symbol is excluded)
+                    data = lambda t: cplx.pmap(
+                        lambda x: x[:, 1:].reshape(B, -1), t)
+                    stats["papr_before_cfr"] = filters.papr_db(data(before))
+                    stats["papr_after_cfr"] = filters.papr_db(data(td))
+                    pick = lambda t: cplx.pmap(lambda x: x[rows, mer_idx], t)
+                    b_sym = pick(before)           # planes [B, spacing]
+                    a_sym = pick(td)
+                    num = cplx.pabs2(b_sym).sum(axis=-1)       # [B]
+                    diff = (a_sym[0] - b_sym[0], a_sym[1] - b_sym[1])
+                    den = cplx.pabs2(diff).sum(axis=-1)
                 mer = jnp.where(
                     den > 0,
                     10.0 * jnp.log10(num / jnp.maximum(den, 1e-30)),

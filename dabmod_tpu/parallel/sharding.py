@@ -63,6 +63,14 @@ class ShardedModulator:
     """
 
     def __init__(self, modulator: Modulator, mesh: Mesh):
+        if modulator._ofdm_backend is not None:
+            # the fused Pallas OFDM kernel has no SPMD partitioning rule;
+            # under a mesh use the XLA transform path, which the GSPMD
+            # partitioner shards along the TF axis like everything else
+            import dataclasses
+            modulator = Modulator(
+                modulator.layout,
+                dataclasses.replace(modulator.settings, ofdm_backend="xla"))
         self.m = modulator
         self.mesh = mesh
         # shard the leading (ETI frame / TF) axis over ALL mesh axes --

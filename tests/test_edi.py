@@ -117,3 +117,59 @@ def test_edi_interleaved_fragments():
             if i < len(frags):
                 dec.dispatcher.push_packet(frags[i])
     _check_decoded(dec, frames)
+
+
+def test_edi_af_seq_gap_counter():
+    """AF SEQ discontinuities are counted (ref: lib/edi/common.cpp checks
+    sequence continuity)."""
+    dec = EdiEtiDecoder()
+    frames = _frames(n=4)
+    for seq, (fic, subs, dlfc) in zip((0, 1, 5, 6), frames):
+        dec.dispatcher.push_packet(
+            build_af_packet(encode_edi_frame(fic, subs, dlfc), seq))
+    assert dec.dispatcher.num_af_packets == 4
+    assert dec.dispatcher.num_seq_gaps == 1
+
+
+def test_edi_tcp_reconnect():
+    """The TCP transport reconnects after the sender drops the connection
+    (ref: src/EtiReader.cpp:599-667 reconnect loop)."""
+    import socket
+    import threading
+
+    from dabmod_tpu.io.edi import EdiEtiDecoder, EdiTcpTransport
+
+    frames = _frames(n=2)
+    packets = [build_af_packet(encode_edi_frame(fic, subs, dlfc), seq)
+               for seq, (fic, subs, dlfc) in enumerate(frames)]
+
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+
+    def serve():
+        # first connection: one AF packet, then drop
+        conn, _ = srv.accept()
+        conn.sendall(packets[0])
+        conn.close()
+        # second connection: the next packet
+        conn, _ = srv.accept()
+        conn.sendall(packets[1])
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+
+    dec = EdiEtiDecoder()
+    tr = EdiTcpTransport(f"tcp://127.0.0.1:{port}", timeout=0.2,
+                         reconnect_delay=0.05)
+    for _ in range(100):
+        tr.rx_packet(dec.dispatcher)
+        if len(dec.frames) >= 2:
+            break
+    th.join(timeout=5)
+    srv.close()
+    assert tr.num_reconnects >= 1
+    _check_decoded(dec, frames)
