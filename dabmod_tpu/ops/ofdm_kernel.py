@@ -227,14 +227,14 @@ def _amp_clip(xr, xi, limit: float):
 
 def _pick_chunk(bs: int, r: int, target_rows: int = 512) -> int:
     """Symbols per grid step: the largest divisor T of bs with
-    T*R <= target_rows.  Mosaic requires output block rows divisible by 8
-    (the stats block is [T, 8]), so prefer multiples of 8 and otherwise
-    fall back to a single full-array block."""
+    T*R <= target_rows (keeps the working set a few MB of VMEM while the
+    MXU matmuls stay several hundred rows deep)."""
     t_max = max(1, target_rows // r)
-    cands = [t for t in range(8, t_max + 1, 8) if bs % t == 0]
-    if cands:
-        return max(cands)
-    return bs
+    best = 1
+    for t in range(1, t_max + 1):
+        if bs % t == 0:
+            best = t
+    return best
 
 
 def build_ofdm_backend(spacing: int, enable_cfr: bool, cfr_clip: float,
@@ -307,7 +307,10 @@ def build_ofdm_backend(spacing: int, enable_cfr: bool, cfr_clip: float,
             colsum(dr * dr + di * di),                           # MER_DEN
             jnp.zeros((br.shape[0], 1), jnp.float32),            # PAD
         ]
-        stats_ref[:] = jnp.concatenate(cols, axis=1)
+        # stats block is [1, T, STATS]: with T and STATS equal to the full
+        # trailing array dims the block is always Mosaic-legal, for any
+        # chunk size (2D [T, STATS] blocks would need T % 8 == 0)
+        stats_ref[:] = jnp.concatenate(cols, axis=1)[None]
 
     wr_j = jnp.asarray(wr_np)
     wi_j = jnp.asarray(wi_np)
@@ -341,9 +344,9 @@ def build_ofdm_backend(spacing: int, enable_cfr: bool, cfr_clip: float,
         out_specs = [data_spec, data_spec]
         if enable_cfr:
             out_shapes.append(
-                jax.ShapeDtypeStruct((bs, STATS), jnp.float32))
+                jax.ShapeDtypeStruct((grid, t, STATS), jnp.float32))
             out_specs.append(
-                pl.BlockSpec((t, STATS), lambda i: (i, 0),
+                pl.BlockSpec((1, t, STATS), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM))
 
         res = pl.pallas_call(
@@ -357,6 +360,7 @@ def build_ofdm_backend(spacing: int, enable_cfr: bool, cfr_clip: float,
         )(bd_r, bd_i, wr_j, wi_j, twr_j, twi_j)
 
         td = (res[0].reshape(b, s, n), res[1].reshape(b, s, n))
+        # [grid, T, STATS] row-major == [bs, STATS] == [B, S, STATS]
         stats = res[2].reshape(b, s, STATS) if enable_cfr else None
         return td, stats
 

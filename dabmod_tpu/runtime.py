@@ -209,6 +209,13 @@ class ModRuntime:
                           "samples clipped in last frame during format "
                           "conversion", lambda: getattr(
                               self.output, "num_clipped_samples", 0))
+        mod.add_parameter("fct", "(Read-only) most recent ETI frame "
+                          "characterisation count",
+                          lambda: max(self._last_fct, 0))
+        mod.add_parameter("frames", "(Read-only) ETI frames modulated",
+                          lambda: self.framecount)
+        mod.add_parameter("num_restarts", "(Read-only) modulator restart "
+                          "counter", lambda: self.num_restarts)
         rcs.enrol(mod)
 
         from .io.fic_decoder import FICDecoder

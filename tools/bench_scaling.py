@@ -191,9 +191,17 @@ def main():
         print(f"hosts={r['hosts']} chips={r['chips']} "
               f"{r['samples_per_s'] / 1e6:8.1f} MS/s  efficiency={eff}  "
               f"output={ok}", flush=True)
+    note = ("localhost CPU harness: all virtual hosts share one machine's "
+            "physical cores, so weak-scaling 'efficiency' is bounded by "
+            "~1/N by construction -- the meaningful results here are "
+            "checksum_ok (multi-process jax.distributed mesh produces "
+            "bit-identical output) and the collective-path overhead; "
+            "real scaling efficiency requires a pod slice (the sharding "
+            "code is identical)")
+    print(note, flush=True)
     if args.json_out:
         with open(args.json_out, "w") as f:
-            json.dump(rows, f, indent=1)
+            json.dump({"note": note, "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
