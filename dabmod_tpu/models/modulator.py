@@ -7,7 +7,10 @@ function over a *batch* of transmission frames:
     iq, state = modulate(fic_bytes, (subch_bytes, ...), state, gains...)
 
 All mode/ensemble-dependent tables are precomputed in NumPy at construction
-and closed over as device constants; the only sequential state is the
+and closed over as host-NumPy constants (XLA bakes them into the executable;
+pre-created *device* arrays would be fetched back to the host at lowering
+time, which is pathological over a tunnelled TPU); the only sequential state
+is the
 16-CIF time-interleaver history, the resampler overlap carries and the TF
 index (TII every-other-TF toggle) -- everything else is embarrassingly
 parallel over the TF axis, which is also the multi-chip sharding axis.
@@ -40,13 +43,13 @@ class Modulator:
         self.p = p = tables.mode_params(mode)
 
         # --- FEC tables (bit domain is int32, see ops.fec.BIT_DTYPE) ---
-        self._fic_prbs = jnp.asarray(
+        self._fic_prbs = np.asarray(
             tables.prbs_bits(p.fic_size_in).astype(np.int32))
         self._fic_nbits = p.fic_size_in * 8
         fic_idx, fic_out_bytes = tables.puncture_gather(
             tables.fic_rules(layout.mid), p.fic_size_in * 4 + 3)
         assert fic_out_bytes == p.fic_size_out, (fic_out_bytes, p.fic_size_out)
-        self._fic_punct = jnp.asarray(fic_idx)
+        self._fic_punct = np.asarray(fic_idx)
 
         self._subch_prbs = []
         self._subch_nbits = []
@@ -55,26 +58,26 @@ class Modulator:
         self._subch_offsets = []
         for sub in layout.subchannels:
             n = sub.framesize
-            self._subch_prbs.append(jnp.asarray(
+            self._subch_prbs.append(np.asarray(
                 tables.prbs_bits(n).astype(np.int32)))
             self._subch_nbits.append(n * 8)
             pidx, pbytes = tables.puncture_gather(
                 sub.rules(), n * 4 + 3, out_bytes_expected=sub.framesize_cu * 8)
-            self._subch_punct.append(jnp.asarray(pidx))
-            self._subch_masks.append(jnp.asarray(
+            self._subch_punct.append(np.asarray(pidx))
+            self._subch_masks.append(np.asarray(
                 tables.time_interleave_masks(pbytes * 8)))
             self._subch_offsets.append(sub.start_address * 64)
 
-        self._cif_filler = jnp.asarray(
+        self._cif_filler = np.asarray(
             tables.prbs_bits(tables.CIF_BYTES).astype(np.int32))
 
         # --- OFDM tables ---
-        self._inv_perm = jnp.asarray(tables.freq_interleave_inverse(mode))
-        self._ref_q = jnp.asarray(tables.phase_ref_eighths(mode))
+        self._inv_perm = np.asarray(tables.freq_interleave_inverse(mode))
+        self._ref_q = np.asarray(tables.phase_ref_eighths(mode))
         bm_src, bm_valid = tables.bin_map(mode)
-        self._bin_src = jnp.asarray(bm_src)
-        self._bin_valid = jnp.asarray(bm_valid.astype(np.float32))
-        self._gi = tuple(jnp.asarray(a) for a in tables.guard_interval_tables(
+        self._bin_src = np.asarray(bm_src)
+        self._bin_valid = np.asarray(bm_valid.astype(np.float32))
+        self._gi = tuple(np.asarray(a) for a in tables.guard_interval_tables(
             mode, s.ofdm_window_overlap))
 
         # --- TII ---
@@ -82,7 +85,7 @@ class Modulator:
             tii = tables.tii_symbol(
                 mode, s.tii_comb, s.tii_pattern, s.tii_old_variant)
             self._tii_vec = tuple(
-                jnp.asarray(p) for p in cplx.planes_from_complex(tii))
+                np.asarray(p) for p in cplx.planes_from_complex(tii))
         else:
             self._tii_vec = None
 
@@ -97,7 +100,7 @@ class Modulator:
                 taps = cic_equalizer_taps(
                     p.nb_carriers,
                     p.spacing * s.output_rate / 2_048_000.0, ratio)
-                self._cic_taps = jnp.asarray(taps)
+                self._cic_taps = np.asarray(taps)
 
         # --- FIR ---
         if s.filter_taps_file:
@@ -105,7 +108,7 @@ class Modulator:
                 taps = tables.DEFAULT_FIR_TAPS
             else:
                 taps = load_fir_taps(s.filter_taps_file)
-            self._fir_taps = jnp.asarray(taps)
+            self._fir_taps = np.asarray(taps)
         else:
             self._fir_taps = None
 
@@ -133,11 +136,11 @@ class Modulator:
             kind, data = load_dpd_file(s.poly_coef_file)
             if kind == "poly":
                 am, pm = data
-                self._poly_am = jnp.asarray(am)
-                self._poly_pm = jnp.asarray(pm)
+                self._poly_am = np.asarray(am)
+                self._poly_pm = np.asarray(pm)
             else:
                 scalefactor, lut = data
-                self._lut = jnp.asarray(lut)
+                self._lut = np.asarray(lut)
                 self._lut_scale = float(scalefactor)
 
         # --- fused OFDM/CFR backend (Pallas VMEM kernel on TPU) ---

@@ -312,11 +312,14 @@ def build_ofdm_backend(spacing: int, enable_cfr: bool, cfr_clip: float,
         # chunk size (2D [T, STATS] blocks would need T % 8 == 0)
         stats_ref[:] = jnp.concatenate(cols, axis=1)[None]
 
-    wr_j = jnp.asarray(wr_np)
-    wi_j = jnp.asarray(wi_np)
-    twr_j = jnp.asarray(twf_r_np)
-    twi_j = jnp.asarray(twf_i_np)
-    perm = jnp.asarray(sigma)
+    # NOTE: keep these as host NumPy.  A pre-created device array closed
+    # over by a jitted caller is fetched back to the host at lowering time
+    # (mlir ir_constant -> Array._value); NumPy constants embed directly.
+    wr_j = np.asarray(wr_np)
+    wi_j = np.asarray(wi_np)
+    twr_j = np.asarray(twf_r_np)
+    twi_j = np.asarray(twf_i_np)
+    perm = np.asarray(sigma)
 
     def apply(bins):
         binr, bini = bins
