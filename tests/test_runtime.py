@@ -36,6 +36,89 @@ def test_file_reader_framing(tmp_path):
     np.testing.assert_array_equal(r.frames(), frames)
 
 
+def test_file_reader_streaming_pipe():
+    """Frames fed incrementally through an os.pipe must come out batch by
+    batch *before* the writer closes -- the reference's frame-at-a-time
+    GetNextFrame semantics (src/InputFileReader.cpp:219-288)."""
+    import os
+    import threading
+
+    frames = synth_eti_batch(6, mode=1)
+    rfd, wfd = os.pipe()
+    first_two_read = threading.Event()
+
+    def writer():
+        with os.fdopen(wfd, "wb") as w:
+            w.write(frames[:2].tobytes())
+            w.flush()
+            # hold the pipe open until the reader proves it got the first
+            # two frames without EOF
+            assert first_two_read.wait(timeout=10)
+            for f in frames[2:]:
+                w.write(f.tobytes())
+                w.flush()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    r = EtiFileReader("pipe", fileobj=os.fdopen(rfd, "rb"))
+    batch = r.read_batch(2)
+    np.testing.assert_array_equal(batch, frames[:2])
+    first_two_read.set()
+    rest = r.read_batch(4)
+    np.testing.assert_array_equal(rest, frames[2:])
+    t.join()
+    assert r.read_batch(1).size == 0   # EOF after writer closed
+    r.close()
+
+
+def test_file_reader_loop_wraps(tmp_path):
+    frames = synth_eti_batch(3, mode=1)
+    r = EtiFileReader(_write_raw(tmp_path, frames), loop=True)
+    got = r.read_batch(7)
+    assert got.shape[0] == 7
+    np.testing.assert_array_equal(got[3:6], frames)
+    np.testing.assert_array_equal(got[6], frames[0])
+    r.close()
+
+
+def test_file_reader_raw_offset(tmp_path):
+    """Sync-word search skips leading garbage like IdentifyType's byte scan
+    (src/InputFileReader.cpp:97-127)."""
+    frames = synth_eti_batch(3, mode=1)
+    p = tmp_path / "offset.eti"
+    p.write_bytes(b"\x00\x01\x02" + frames.tobytes())
+    r = EtiFileReader(str(p))
+    assert r.streamtype == "raw"
+    np.testing.assert_array_equal(r.frames(), frames)
+
+
+def test_cli_fifo_end_to_end(tmp_path):
+    """The CLI must consume an unbounded FIFO (the /dev/stdin case) while
+    the producer is still writing."""
+    import os
+    import threading
+    from dabmod_tpu.cli import main
+
+    frames = synth_eti_batch(8, mode=1)
+    fifo = str(tmp_path / "in.fifo")
+    os.mkfifo(fifo)
+
+    def writer():
+        with open(fifo, "wb") as w:
+            for f in frames:
+                w.write(f.tobytes())
+                w.flush()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    out = str(tmp_path / "fifo_out.iq")
+    rc = main([fifo, "-f", out, "-F", "s16", "-b", "2"])
+    t.join()
+    assert rc == 0
+    data = np.fromfile(out, np.int16)
+    assert data.size == 2 * tables.mode_params(1).tf_samples * 2
+
+
 def test_cli_end_to_end(tmp_path):
     from dabmod_tpu.cli import main
     frames = synth_eti_batch(16, mode=1)
