@@ -129,7 +129,7 @@ def main(argv=None):
     code = rt.run()
     if s.show_process_time:
         rt.log_process_time()
-    rt.output.close()
+    rt.close()
     logging.getLogger("dabmod_tpu").info(
         "done: %d ETI frames modulated, %d restarts",
         rt.framecount, rt.num_restarts)

@@ -44,6 +44,7 @@ class ModSettings:
     sdr_bandwidth: float = 0.0
     sdr_subdevice: str = ""
     sdr_rx_antenna: str = ""
+    sdr_tx_antenna: str = ""
     # modulator
     dab_mode: int = 0                    # 0 = derive from ETI MID
     digital_gain: float = 1.0
@@ -84,6 +85,9 @@ class ModSettings:
     log_file: str = ""                   # file log (filelog=1 + filename)
     # runtime / batching (TPU-native additions)
     batch_tf: int = 16                   # transmission frames per device step
+    # convert to the wire format (s16/u8/s8) on-device: halves or quarters
+    # the device->host transfer and offloads the host converter
+    device_format_conversion: bool = True
     fft_precision: str = "high"          # MXU precision: default|high|highest
     show_process_time: bool = True
 
@@ -225,6 +229,7 @@ def parse_ini(path: str) -> ModSettings:
             s.sdr_bandwidth = getfloat(sec, "bandwidth", 0.0)
             s.sdr_subdevice = get(sec, "subdevice", "")
             s.sdr_rx_antenna = get(sec, "rx_antenna", "")
+            s.sdr_tx_antenna = get(sec, "tx_antenna", "")
             break
 
     s.tist_enabled = getbool("delaymanagement", "synchronous", False)

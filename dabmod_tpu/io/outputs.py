@@ -21,6 +21,11 @@ def serialize_iq_count(iq: np.ndarray, fmt: str) -> tuple[bytes, int]:
     `iq` is either pair-domain [..., N, 2] float32 (the native layout, which
     is already interleaved I/Q when flattened) or complex."""
     x = np.asarray(iq)
+    if np.issubdtype(x.dtype, np.integer):
+        # already converted on-device (ops.filters.format_convert), possibly
+        # packed into i32 wire words whose little-endian byte stream equals
+        # the narrow stream; the clip count travels in the device stats
+        return np.ascontiguousarray(x).tobytes(), 0
     if np.iscomplexobj(x):
         interleaved = np.empty(x.size * 2, np.float32)
         interleaved[0::2] = x.real.reshape(-1)
@@ -143,8 +148,11 @@ def open_sdr_output(settings):
     if settings.output == "uhd":
         from .uhd_driver import UhdConfig  # noqa: PLC0415
         device = sdr.UhdDevice(UhdConfig.from_settings(settings))
+    elif settings.output == "soapy":
+        from .soapy_driver import SoapyConfig  # noqa: PLC0415
+        device = sdr.SoapyDevice(SoapyConfig.from_settings(settings))
     else:
-        drivers = {"soapy": sdr.SoapyDevice, "lime": sdr.LimeDevice,
+        drivers = {"lime": sdr.LimeDevice,
                    "bladerf": sdr.BladeRFDevice,
                    "dexter": sdr.DexterDevice,
                    "loopback": sdr.LoopbackSdrDevice}

@@ -151,8 +151,17 @@ def _load_uhd_device():
     return _UhdDevice
 
 
+def _load_soapy_device():
+    try:
+        import SoapySDR  # noqa: F401, PLC0415
+    except ImportError:
+        return _missing_driver("SoapySDR", "SoapySDR")
+    from .soapy_driver import SoapyDevice as _SoapyDevice  # noqa: PLC0415
+    return _SoapyDevice
+
+
 UhdDevice = _load_uhd_device()
-SoapyDevice = _missing_driver("SoapySDR", "SoapySDR")
+SoapyDevice = _load_soapy_device()
 LimeDevice = _missing_driver("LimeSDR", "LimeSuite")
 BladeRFDevice = _missing_driver("BladeRF", "libbladeRF")
 DexterDevice = _missing_driver("Dexter", "libiio")

@@ -143,6 +143,14 @@ class Modulator:
                 self._lut = np.asarray(lut)
                 self._lut_scale = float(scalefactor)
 
+        # --- device-side wire-format conversion (the FormatConverter,
+        #     src/FormatConverter.cpp:62-206, moved on-chip: the D2H copy
+        #     then moves 2-4x fewer bytes and the host writes raw bytes) ---
+        self._wire_fmt = None
+        if (s.device_format_conversion and s.output == "file"
+                and s.file_output_format in ("s16", "u8", "s8")):
+            self._wire_fmt = s.file_output_format
+
         # --- fused OFDM/CFR backend (Pallas VMEM kernel on TPU) ---
         self._ofdm_backend = None
         backend = s.ofdm_backend
@@ -378,6 +386,19 @@ class Modulator:
 
         with jax.named_scope("interleave_out"):
             out = cplx.planes_to_pairs(iq)       # [B, N, 2] wire form
+        if self._wire_fmt is not None:
+            with jax.named_scope("format_convert"):
+                out, n_clip = filters.format_convert(out, self._wire_fmt)
+                stats["num_clipped"] = n_clip
+                # pack the narrow integer stream into i32 wire words: the
+                # byte stream is unchanged (little-endian pairs/quads) but
+                # the D2H copy takes the fast 32-bit path (the tunnelled
+                # runtime moves sub-32-bit types ~100x slower)
+                if out.dtype == jnp.int16:
+                    out = jax.lax.bitcast_convert_type(out, jnp.int32)
+                elif out.dtype in (jnp.uint8, jnp.int8):
+                    out = jax.lax.bitcast_convert_type(
+                        out.reshape(*out.shape[:-2], -1, 4), jnp.int32)
         return out, new_state, stats
 
     # ------------------------------------------------------------------

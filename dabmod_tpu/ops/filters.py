@@ -326,24 +326,26 @@ def cic_equalizer_taps(carriers: int, fft_size_over: float,
 
 
 def format_convert(x: jnp.ndarray, fmt: str):
-    """Flatten pair samples to the interleaved I/Q stream and convert with
-    saturation.  Returns (converted, n_clipped)."""
-    iq = x.reshape(*x.shape[:-2], -1)
-    if fmt in ("complexf", "f32", ""):
-        return iq, jnp.zeros((), jnp.int32)
+    """Device-side wire-format conversion with saturation + clip counting
+    (ref: src/FormatConverter.cpp:62-206).  Keeps the [..., N, 2] pair shape
+    (already interleaved I/Q when flattened).  The float->int conversion
+    truncates toward zero like the reference's C casts, so the device path
+    is bit-exact with the host converter.  Returns (converted, n_clipped)."""
+    if fmt in ("complexf", "complexf_normalised", "f32", ""):
+        return x, jnp.zeros((), jnp.int32)
     if fmt == "s16":
-        clipped = jnp.clip(iq, -32768.0, 32767.0)
-        n = (iq != clipped).sum()
-        return clipped.astype(jnp.int32), n   # int16 unsupported on device
+        clipped = jnp.clip(x, -32768.0, 32767.0)
+        n = (x != clipped).sum(dtype=jnp.int32)
+        return jnp.trunc(clipped).astype(jnp.int16), n
     if fmt == "u8":
-        samp = iq + 128.0
+        samp = x + 128.0
         clipped = jnp.clip(samp, 0.0, 255.0)
-        n = (samp != clipped).sum()
-        return clipped.astype(jnp.int32), n
+        n = (samp != clipped).sum(dtype=jnp.int32)
+        return jnp.trunc(clipped).astype(jnp.uint8), n
     if fmt == "s8":
-        clipped = jnp.clip(iq, -128.0, 127.0)
-        n = (iq != clipped).sum()
-        return clipped.astype(jnp.int32), n
+        clipped = jnp.clip(x, -128.0, 127.0)
+        n = (x != clipped).sum(dtype=jnp.int32)
+        return jnp.trunc(clipped).astype(jnp.int8), n
     raise ValueError(f"invalid output format {fmt}")
 
 

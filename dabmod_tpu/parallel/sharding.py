@@ -54,6 +54,36 @@ def make_host_chip_mesh(n_hosts: int | None = None,
     return Mesh(grid, ("host", "chip"))
 
 
+def shard_ofdm_backend(backend, mesh: Mesh, has_stats: bool):
+    """Wrap the fused Pallas OFDM/CFR backend in shard_map over the TF axis.
+
+    pallas_call has no GSPMD partitioning rule, so under a mesh the kernel
+    must be explicitly mapped: the OFDM transform (and CFR, and its
+    per-symbol statistics) are embarrassingly parallel over transmission
+    frames, so every input and output simply shards its leading axis over
+    all mesh axes -- no collectives.  The kernel itself is shape-polymorphic
+    (ops/ofdm_kernel._pick_chunk), so it retiles to the local block.
+    """
+    spec = P(mesh.axis_names)
+
+    def local(br, bi):
+        td, stats = backend((br, bi))
+        return (td[0], td[1], stats) if has_stats else (td[0], td[1])
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and every output here is plainly per-shard anyway
+    f = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                      out_specs=(spec, spec, spec) if has_stats
+                      else (spec, spec),
+                      check_vma=False)
+
+    def wrapped(bins):
+        res = f(bins[0], bins[1])
+        return (res[0], res[1]), (res[2] if has_stats else None)
+
+    return wrapped
+
+
 class ShardedModulator:
     """Runs a Modulator data-parallel over the TF axis of a device mesh.
 
@@ -64,13 +94,15 @@ class ShardedModulator:
 
     def __init__(self, modulator: Modulator, mesh: Mesh):
         if modulator._ofdm_backend is not None:
-            # the fused Pallas OFDM kernel has no SPMD partitioning rule;
-            # under a mesh use the XLA transform path, which the GSPMD
-            # partitioner shards along the TF axis like everything else
-            import dataclasses
-            modulator = Modulator(
-                modulator.layout,
-                dataclasses.replace(modulator.settings, ofdm_backend="xla"))
+            # run the fused Pallas kernel under the mesh via shard_map
+            # (a shallow copy so the single-chip modulator keeps its
+            # unmapped backend)
+            import copy
+            wrapped = shard_ofdm_backend(
+                modulator._ofdm_backend, mesh,
+                has_stats=modulator.settings.enable_cfr)
+            modulator = copy.copy(modulator)
+            modulator._ofdm_backend = wrapped
         self.m = modulator
         self.mesh = mesh
         # shard the leading (ETI frame / TF) axis over ALL mesh axes --

@@ -6,12 +6,25 @@ check with restart-keeping-input, ensemble reconfiguration detection with
 pipeline rebuild, and per-batch timestamp tracking.  The difference is
 granularity: the reference runs one 24 ms ETI frame at a time; this runtime
 accumulates `batch_tf` transmission frames and executes them as one device
-step, overlapping host parsing with device compute.
+step.
+
+The steady-state loop is a three-stage pipeline:
+
+  [main thread]  read + parse batch N+1  |  dispatch modulate N+1 (async)
+  [device]       compute batch N         (JAX dispatch is asynchronous)
+  [writer thread] D2H copy + format conversion + output write of batch N-1
+
+so the blocking `np.asarray` device fetch and the output write never sit on
+the dispatch path.  This is the TPU-shaped analogue of the reference's
+PipelinedModCodec worker threads (src/ModPlugin.cpp:76-154) and its SDR
+output thread (src/output/SDR.cpp:190-238).
 """
 from __future__ import annotations
 
 import enum
 import logging
+import queue as queue_mod
+import threading
 import time
 
 import numpy as np
@@ -35,6 +48,11 @@ class RunResult(enum.Enum):
     RECONFIGURE = 3
 
 
+# RC controller fault poll cadence in ETI frames (ref: src/DabMod.cpp:721-723
+# polls every 250 frames unconditionally)
+RC_FAULT_POLL_FRAMES = 250
+
+
 class ModRuntime:
     def __init__(self, settings: ModSettings):
         self.settings = settings
@@ -52,6 +70,15 @@ class ModRuntime:
         self._t0 = None
         self._frames_timed = 0
         self.last_stats = {}
+        self._next_fault_poll = RC_FAULT_POLL_FRAMES
+        self._frames_since_clip_poll = RC_FAULT_POLL_FRAMES
+        # output pipeline: depth 2 = classic double buffering (batch N-1
+        # being written while N computes and N+1 parses)
+        self._out_queue: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        self._writer_fault: BaseException | None = None
+        self._writer = threading.Thread(target=self._writer_loop,
+                                        daemon=True, name="output-writer")
+        self._writer.start()
         from collections import deque
         self._clip_ratios = deque(maxlen=256)
         self._errclip_ratios = deque(maxlen=256)
@@ -238,13 +265,64 @@ class ModRuntime:
                                        .as_seconds()))
         rcs.enrol(tist)
 
-    def _note_stats(self, stats):
+    # ------------------------------------------------------------------
+    # Output writer thread: D2H fetch + stats folding + sink write happen
+    # here so they never block the dispatch of the next device batch.
+    def _writer_loop(self):
+        while True:
+            item = self._out_queue.get()
+            if item is None:
+                return
+            if isinstance(item, threading.Event):   # flush barrier
+                item.set()
+                continue
+            iq, stats, meta, T, n_cells = item
+            if self._writer_fault is not None:
+                continue                             # drain after a fault
+            try:
+                if stats:
+                    self._note_stats(stats, n_cells)
+                arr = np.asarray(iq)                 # blocking D2H copy
+                try:
+                    self.output.write(arr, meta)
+                except TypeError:
+                    self.output.write(arr)
+                if "num_clipped" in stats:
+                    # device-side FormatConverter clip counter: a scalar
+                    # fetch is a full tunnel round trip, so sample it at
+                    # the RC poll cadence rather than every batch
+                    self._frames_since_clip_poll += T
+                    if self._frames_since_clip_poll >= RC_FAULT_POLL_FRAMES:
+                        self._frames_since_clip_poll = 0
+                        self.output.num_clipped_samples = int(
+                            np.asarray(stats["num_clipped"]))
+                self._tracepoint("output,write %d" % T)
+            except BaseException as e:               # noqa: BLE001
+                log.error("output writer failed: %s", e)
+                self._writer_fault = e
+
+    def _flush_output(self):
+        """Barrier: wait until every dispatched batch has been written."""
+        ev = threading.Event()
+        self._out_queue.put(ev)
+        ev.wait()
+        if self._writer_fault is not None:
+            e, self._writer_fault = self._writer_fault, None
+            raise e
+
+    def close(self):
+        self._flush_output()
+        self._out_queue.put(None)
+        self._writer.join(timeout=5)
+        if hasattr(self.output, "close"):
+            self.output.close()
+
+    def _note_stats(self, stats, n):
         """Fold one batch's device stats into the bounded RC accumulators
         (the reference's myClipRatios/myErrorClipRatios/myMERs deques,
-        src/OfdmGenerator.cpp:277-300)."""
+        src/OfdmGenerator.cpp:277-300).  `n` is the batch's OFDM cell count
+        (samples before GI insertion), the clip-ratio denominator."""
         self.last_stats = stats
-        p = self.modulator.p
-        n = self.settings.batch_tf * p.spacing * (p.nb_symbols + 1)
         if "cfr_clip" in stats:
             self._clip_ratios.append(
                 float(np.asarray(stats["cfr_clip"]).sum()) / n)
@@ -334,6 +412,17 @@ class ModRuntime:
         self._last_fct = int(fct[-1])
 
     def run_batches(self, max_batches: int | None = None) -> RunResult:
+        """Run up to max_batches through the pipelined loop, then drain the
+        output writer so callers observe a fully-written sink."""
+        result = self._run_batches_inner(max_batches)
+        try:
+            self._flush_output()
+        except BaseException as e:       # noqa: BLE001
+            log.error("output write failed: %s", e)
+            return RunResult.FAILURE
+        return result
+
+    def _run_batches_inner(self, max_batches: int | None = None) -> RunResult:
         s = self.settings
         batches_done = 0
         while max_batches is None or batches_done < max_batches:
@@ -416,25 +505,33 @@ class ModRuntime:
             # like the reference's showjson on the EDI path)
             self.fic_decoder.process(batch.fic[0].tobytes())
 
-            self._tracepoint("modulate,start %d" % T)
+            # asynchronous dispatch: JAX returns device futures immediately,
+            # so the next loop iteration parses batch N+1 while the chip
+            # computes batch N and the writer thread drains batch N-1
+            self._tracepoint("modulate,dispatch %d" % T)
             iq, self.state, stats = self.modulator.modulate_eti(
                 batch, self.state)
-            if stats:
-                self._note_stats(stats)
             meta = [(int(batch.fct[i * C]), tf_ts[i])
                     for i in range(len(tf_ts))]
+            p = self.modulator.p
+            n_cells = (T // C) * p.spacing * (p.nb_symbols + 1)
             try:
-                self.output.write(np.asarray(iq), meta)
-            except TypeError:
-                self.output.write(np.asarray(iq))
-            self._tracepoint("output,write %d" % T)
+                # start the D2H transfer now so it overlaps the writer
+                # thread's file write of the previous batch
+                iq.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._out_queue.put((iq, stats, meta, T, n_cells))
             self.framecount += T
             if self._t0 is None:
                 self._t0 = time.perf_counter()
             self._frames_timed += T
             batches_done += 1
-            if (self.framecount // max(1, T)) % 64 == 0:
+            if self.framecount >= self._next_fault_poll:
                 rcs.check_faults()
+                self._next_fault_poll = self.framecount + RC_FAULT_POLL_FRAMES
+            if self._writer_fault is not None:
+                return RunResult.FAILURE
         return RunResult.NORMAL_END
 
     def _tracepoint(self, msg: str):

@@ -162,7 +162,26 @@ def test_format_convert_s16_clipping():
     x = np.array([100.5 + 40000.0j, -40000.0 - 3.2j], np.complex64)
     out, n = filters.format_convert(jnp.asarray(cplx.from_complex(x)), "s16")
     assert int(n) == 2
-    np.testing.assert_array_equal(np.asarray(out), [100, 32767, -32768, -3])
+    assert np.asarray(out).dtype == np.int16
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1),
+                                  [100, 32767, -32768, -3])
+
+
+def test_format_convert_device_matches_host():
+    """The on-device FormatConverter must be bit-exact with the host
+    serializer (truncate-toward-zero C-cast semantics,
+    src/FormatConverter.cpp:62-206)."""
+    from dabmod_tpu.io.outputs import serialize_iq_count
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-40000, 40000, size=(3, 512, 2)).astype(np.float32)
+    # adversarial values: exact bounds, half-steps, negative fractions
+    x.reshape(-1)[:10] = [32767.0, -32768.0, 32767.5, -32768.5, 0.5,
+                          -0.5, -1.5, 255.9, -129.0, 127.5]
+    for fmt in ("s16", "u8", "s8"):
+        dev, n_dev = filters.format_convert(jnp.asarray(x), fmt)
+        host_bytes, n_host = serialize_iq_count(x, fmt)
+        assert np.asarray(dev).tobytes() == host_bytes, fmt
+        assert int(n_dev) == n_host, fmt
 
 
 def test_papr():

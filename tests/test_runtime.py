@@ -132,6 +132,28 @@ def test_cli_end_to_end(tmp_path):
     assert 8000 < np.abs(data).max() <= 32767
 
 
+def test_device_format_conversion_end_to_end(tmp_path):
+    """s16 output through the device-side FormatConverter must equal the
+    host-converted path byte for byte."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.runtime import ModRuntime
+    frames = synth_eti_batch(8, mode=1)
+    inp = _write_raw(tmp_path, frames)
+    outs = {}
+    for dev_conv in (True, False):
+        out = str(tmp_path / f"out_{dev_conv}.iq")
+        s = ModSettings(input_name=inp, output="file", output_name=out,
+                        file_output_format="s16", batch_tf=2,
+                        device_format_conversion=dev_conv)
+        s.normalise_for_output()
+        rt = ModRuntime(s)
+        assert rt.run() == 0
+        rt.close()
+        outs[dev_conv] = open(out, "rb").read()
+    assert len(outs[True]) == 2 * tables.mode_params(1).tf_samples * 2 * 2
+    assert outs[True] == outs[False]
+
+
 def test_runtime_fct_discontinuity_restart(tmp_path):
     from dabmod_tpu.config import ModSettings
     from dabmod_tpu.runtime import ModRuntime

@@ -53,6 +53,48 @@ def test_sharded_streaming_state(setup):
                                rtol=2e-5, atol=2e-2)
 
 
+def test_sharded_pallas_kernel_matches_unsharded(setup):
+    """The fused Pallas OFDM kernel must run under the mesh via shard_map
+    (not silently swap to the XLA path) and match the unsharded kernel."""
+    _, batch = setup
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(1, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=1,
+                                      ofdm_backend="pallas-interpret"))
+    assert m._ofdm_backend is not None
+    iq_ref, _, _ = m.modulate_eti(batch, m.init_state())
+
+    sm = ShardedModulator(m, make_mesh(8))
+    assert sm.m._ofdm_backend is not None          # no XLA fallback
+    assert sm.m._ofdm_backend is not m._ofdm_backend  # shard_map-wrapped
+    iq, _, _ = sm.modulate(batch.fic, tuple(batch.subchannels),
+                           sm.init_state())
+    np.testing.assert_allclose(np.asarray(iq), np.asarray(iq_ref),
+                               rtol=2e-5, atol=2e-2)
+
+
+def test_sharded_pallas_cfr_stats_match(setup):
+    """CFR + per-symbol statistics through the sharded kernel."""
+    _, batch = setup
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(1, subch_specs=specs)
+    s = ModSettings(dab_mode=1, ofdm_backend="pallas-interpret",
+                    enable_cfr=True, cfr_clip=30.0, cfr_error_clip=0.1)
+    m = Modulator(layout, s)
+    iq_ref, _, st_ref = m.modulate_eti(batch, m.init_state())
+
+    sm = ShardedModulator(m, make_mesh(8))
+    iq, _, st = sm.modulate(batch.fic, tuple(batch.subchannels),
+                            sm.init_state())
+    np.testing.assert_allclose(np.asarray(iq), np.asarray(iq_ref),
+                               rtol=2e-5, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(st["cfr_clip"]),
+                                  np.asarray(st_ref["cfr_clip"]))
+    np.testing.assert_allclose(np.asarray(st["mer_db"]),
+                               np.asarray(st_ref["mer_db"]),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, ".")
