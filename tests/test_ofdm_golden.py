@@ -148,3 +148,87 @@ def test_guard_interval_windowed_slices():
     gr, gi_ = ofdm.guard_interval_windowed(planes, 2656, 2552, 90)
     got = np.stack([np.asarray(gr), np.asarray(gi_)], axis=-1)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Full-frame I/Q vs the reference's fft_engine=kiss configuration
+# ---------------------------------------------------------------------------
+
+def _fixed_chain_outputs():
+    """Run the TPU chain on the golden fixed-point inputs: front end ->
+    null symbol -> unnormalised IFFT scaled 1/2048 (the KISS fixed-point
+    FFT's total per-stage scaling, kiss/kiss_fft.c C_FIXDIV) -> GI."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.models import Modulator, make_default_layout
+
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(1, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=1))
+    fic = load("e2e_fixed_fic_in").reshape(8, 96)
+    sub0 = load("e2e_fixed_sub0_in").reshape(8, -1)
+    sub1 = load("e2e_fixed_sub1_in").reshape(8, -1)
+    hist = tuple(jnp.zeros((15, int(mm.shape[1])), jnp.int32)
+                 for mm in m._subch_masks)
+    syms, _ = m.frontend(fic, (sub0, sub1), hist)
+    null = jnp.zeros((2, 1536), jnp.float32)
+    symbols = tuple(jnp.concatenate([null[:, None], s], axis=1)
+                    for s in syms)
+    bins = ofdm.to_bins_slices(symbols, 1536, 2048)
+    td = ofdm.ofdm_ifft(bins)
+    return cplx.pmap(lambda x: x / 2048.0, td)
+
+
+def _mer_db(ref: np.ndarray, mine: np.ndarray) -> float:
+    err = mine - ref
+    return float(10 * np.log10((ref ** 2).sum() / (err ** 2).sum()))
+
+
+def _kiss_floor_db() -> float:
+    """MER of the reference's own int16 KISS IFFT against an ideal float
+    IFFT of the reference's own Q1.14 symbols: the quantisation noise floor
+    that bounds any comparison against the fixed-point oracle
+    (measured ~47.4 dB; ref: src/OfdmGenerator.cpp:467-579)."""
+    ref_syms = load("e2e_fixed_symbols").astype(np.float32) \
+        .reshape(2, 76, 1536, 2) / 16384.0
+    c = ref_syms[..., 0] + 1j * ref_syms[..., 1]
+    syms = np.concatenate([np.zeros((2, 1, 1536), np.complex64), c], axis=1)
+    # reference bin mapping, inverse=true (src/OfdmGenerator.cpp:485-499)
+    bins = np.zeros((2, 77, 2048), np.complex64)
+    bins[:, :, 1:769] = syms[:, :, :768]
+    bins[:, :, 1280:2048] = syms[:, :, 768:]
+    ideal = np.fft.ifft(bins, axis=-1)
+    rows = [ideal[:, :1, -608:], ideal[:, :1]]
+    for s in range(1, 77):
+        rows += [ideal[:, s:s + 1, -504:], ideal[:, s:s + 1]]
+    ideal_iq = np.concatenate(rows, axis=-1).reshape(-1)
+    ref = load("e2e_iq_fixed").astype(np.float32) / 16384.0
+    ref_c = ref[0::2] + 1j * ref[1::2]
+    err = ideal_iq - ref_c
+    return float(10 * np.log10((np.abs(ref_c) ** 2).sum()
+                               / (np.abs(err) ** 2).sum()))
+
+
+@pytest.mark.parametrize("name,ov", [("e2e_iq_fixed", 0),
+                                     ("e2e_iq_fixed_ov90", 90)])
+def test_full_frame_iq_vs_reference(name, ov):
+    """Complete TM-I transmission frames (2 TFs, 2 sub-channels) against
+    reference-generated I/Q from the fft_engine=kiss configuration
+    (FEC -> QPSK -> freq-interleave -> diff-mod -> IFFT -> GI, plain and
+    windowed).  The comparison must sit AT the oracle's own int16
+    quantisation floor: any real chain defect (wrong permutation, bin
+    mapping, GI window...) collapses the MER by tens of dB."""
+    td = _fixed_chain_outputs()
+    if ov == 0:
+        iq = ofdm.guard_interval_unwindowed(td, 2656, 2552)
+    else:
+        iq = ofdm.guard_interval_windowed(td, 2656, 2552, ov)
+    mine = np.asarray(cplx.planes_to_pairs(iq)).reshape(-1)
+    ref = load(name).astype(np.float32) / 16384.0
+    assert mine.size == ref.size
+    mer = _mer_db(ref, mine)
+    assert mer >= 46.0, f"full-chain MER {mer:.2f} dB below bound"
+    if ov == 0:
+        # the chain's own error must be negligible against the oracle's
+        # quantisation noise: within 0.05 dB of the kiss floor
+        floor = _kiss_floor_db()
+        assert mer >= floor - 0.05, (mer, floor)

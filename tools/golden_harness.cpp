@@ -39,6 +39,7 @@
 #include "FrameMultiplexer.h"
 #include "BlockPartitioner.h"
 #include "EtiReader.h"
+#include "OfdmGenerator.h"
 
 // EtiSource::getFic is defined in EtiReader.cpp, which we don't compile.
 std::shared_ptr<FicSource>& EtiSource::getFic() { return myFicSource; }
@@ -431,6 +432,147 @@ int main(int argc, char** argv) {
         dump("e2e_sub1_in", "u8", all_sub1.data(), all_sub1.size(), all_sub1.size());
         dump("e2e_symbols", "c8", all_syms.data(),
              all_syms.size() * sizeof(complexf), all_syms.size());
+    }
+
+    // ---- Full-frame fixed-point I/Q: the fft_engine=kiss configuration.
+    // TM-I, the same two-sub-channel ensemble, but through the reference's
+    // complete fixed-point chain: Q1.14 QPSK/freq-interleave/diff-mod,
+    // OfdmGeneratorFixed (KISS int16 IFFT, total scaling 1/2048), fixed
+    // GuardIntervalInserter plain and windowed.  The kiss configuration has
+    // no GainControl (ref: src/DabModulator.cpp:144-241 fixedPoint
+    // branches), so the dump is the raw Q1.14 baseband I/Q. ----
+    {
+        FakeEtiSource src;
+        src.m_subs.push_back(std::make_shared<SubchannelSource>(0, 24, 0x22));
+        src.m_subs.push_back(std::make_shared<SubchannelSource>(48, 48, 0x02));
+
+        PrbsGenerator ficPrbs(96, 0x110);
+        ConvEncoder ficConv(96);
+        PuncturingEncoder ficPunct;
+        FicSource fic(1, 1);
+        for (const auto& r : fic.get_rules()) ficPunct.append_rule(r);
+        ficPunct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+
+        struct SubChain {
+            PrbsGenerator prbs;
+            ConvEncoder conv;
+            PuncturingEncoder punct;
+            TimeInterleaver ti;
+            SubChain(size_t fs, size_t cu,
+                     const std::vector<PuncturingRule>& rules)
+                : prbs(fs, 0x110), conv(fs), punct(cu), ti(cu * 8) {
+                for (const auto& r : rules) punct.append_rule(r);
+                punct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+            }
+        };
+        std::vector<std::unique_ptr<SubChain>> chains;
+        for (auto& s : src.m_subs) {
+            chains.emplace_back(std::make_unique<SubChain>(
+                s->framesize(), s->framesizeCu(), s->get_rules()));
+        }
+
+        PrbsGenerator cifPrbs(864 * 8, 0x110);
+        FrameMultiplexer mux(src);
+        BlockPartitioner part(1);
+        QpskSymbolMapper map(1536, true);
+        FrequencyInterleaver freq(1, true);
+        PhaseReference pref(1, true);
+        DifferentialModulator diff(1536, true);
+        OfdmGeneratorFixed ofdm(77, 1536, 2048, true);
+        size_t ov0 = 0, ov90 = 90;
+        GuardIntervalInserter guard0(76, 2048, 2656, 2552, ov0,
+                                     FFTEngine::KISS);
+        GuardIntervalInserter guardw(76, 2048, 2656, 2552, ov90,
+                                     FFTEngine::KISS);
+
+        std::vector<uint8_t> all_fic, all_sub0, all_sub1;
+        std::vector<int16_t> all_syms, all_iq0, all_iqw;
+        Buffer tfblock;
+
+        for (int frame = 0; frame < 8; frame++) {
+            Buffer ficIn, t1, t2, ficOut;
+            fill_bytes(ficIn, 96);
+            {
+                const uint8_t* p = (const uint8_t*)ficIn.getData();
+                all_fic.insert(all_fic.end(), p, p + 96);
+            }
+            ficPrbs.process({&ficIn}, {&t1});
+            ficConv.process(&t1, &t2);
+            ficPunct.process(&t2, &ficOut);
+
+            std::vector<Buffer> subOut(chains.size());
+            for (size_t i = 0; i < chains.size(); i++) {
+                Buffer in, a, b, c;
+                fill_bytes(in, src.m_subs[i]->framesize());
+                const uint8_t* p = (const uint8_t*)in.getData();
+                auto& sink = (i == 0) ? all_sub0 : all_sub1;
+                sink.insert(sink.end(), p, p + in.getLength());
+                chains[i]->prbs.process({&in}, {&a});
+                chains[i]->conv.process(&a, &b);
+                chains[i]->punct.process(&b, &c);
+                chains[i]->ti.process(&c, &subOut[i]);
+            }
+
+            Buffer filler, cif;
+            cifPrbs.process({}, {&filler});
+            std::vector<Buffer*> muxIn{&filler};
+            for (auto& b : subOut) muxIn.push_back(&b);
+            mux.process(muxIn, &cif);
+
+            std::vector<Buffer*> partIn{&ficOut, &cif};
+            int full = part.process(partIn, &tfblock);
+            if (!full) continue;
+
+            Buffer mapped, interleaved, ref, symbols;
+            map.process(&tfblock, &mapped);
+            freq.process(&mapped, &interleaved);
+            pref.process(&ref);
+            std::vector<Buffer*> diffIn{&ref, &interleaved};
+            diff.process(diffIn, &symbols);
+            {
+                const int16_t* p = (const int16_t*)symbols.getData();
+                all_syms.insert(all_syms.end(), p,
+                                p + symbols.getLength() / sizeof(int16_t));
+            }
+
+            // SignalMultiplexer: all-zero NULL symbol ahead of the 76 data
+            // symbols (no TII)
+            Buffer ofdmIn, td;
+            ofdmIn.setLength(77 * 1536 * sizeof(complexfix));
+            memset(ofdmIn.getData(), 0, 1536 * sizeof(complexfix));
+            memcpy((uint8_t*)ofdmIn.getData() + 1536 * sizeof(complexfix),
+                   symbols.getData(), symbols.getLength());
+            ofdm.process(&ofdmIn, &td);
+
+            Buffer iq0, iqw;
+            guard0.process(&td, &iq0);
+            {
+                const int16_t* p = (const int16_t*)iq0.getData();
+                all_iq0.insert(all_iq0.end(), p,
+                               p + iq0.getLength() / sizeof(int16_t));
+            }
+            Buffer td2;     // guardw consumes its input too; give it a copy
+            td2.setData(td.getData(), td.getLength());
+            guardw.process(&td2, &iqw);
+            {
+                const int16_t* p = (const int16_t*)iqw.getData();
+                all_iqw.insert(all_iqw.end(), p,
+                               p + iqw.getLength() / sizeof(int16_t));
+            }
+        }
+
+        dump("e2e_fixed_fic_in", "u8", all_fic.data(), all_fic.size(),
+             all_fic.size());
+        dump("e2e_fixed_sub0_in", "u8", all_sub0.data(), all_sub0.size(),
+             all_sub0.size());
+        dump("e2e_fixed_sub1_in", "u8", all_sub1.data(), all_sub1.size(),
+             all_sub1.size());
+        dump("e2e_fixed_symbols", "i16", all_syms.data(),
+             all_syms.size() * sizeof(int16_t), all_syms.size());
+        dump("e2e_iq_fixed", "i16", all_iq0.data(),
+             all_iq0.size() * sizeof(int16_t), all_iq0.size());
+        dump("e2e_iq_fixed_ov90", "i16", all_iqw.data(),
+             all_iqw.size() * sizeof(int16_t), all_iqw.size());
     }
 
     fclose(g_manifest);

@@ -41,3 +41,21 @@ std::list<std::string> RemoteControllable::get_supported_parameters() const {
 // --- Utils stubs (src/Utils.cpp replacements) ---
 void set_thread_name(const char* name) { (void)name; }
 int set_realtime_prio(int prio) { (void)prio; return 0; }
+
+// --- fftw3f stubs (tools/shim/fftw3.h declarations): the harness only
+// instantiates OfdmGeneratorFixed, so the CF32 path's calls must never run.
+#include <cstdio>
+#include <cstdlib>
+#include "fftw3.h"      // the tools/shim copy
+extern "C" {
+void* fftwf_malloc(size_t n) { return malloc(n); }
+void fftwf_free(void* p) { free(p); }
+fftwf_plan fftwf_plan_dft_1d(int, fftwf_complex*, fftwf_complex*, int,
+                             unsigned) { return nullptr; }
+void fftwf_destroy_plan(fftwf_plan) {}
+void fftwf_execute(const fftwf_plan) {
+    fprintf(stderr, "fftwf_execute stub called\n");
+    abort();
+}
+void fftwf_set_timelimit(double) {}
+}

@@ -8,9 +8,13 @@ BUILD=${BUILD:-/tmp/refgold-build}
 mkdir -p "$BUILD"
 
 g++ -O2 -std=c++17 -w -DPACKAGE_NAME='"refgold"' -DVERSION='"golden"' \
-    -I"$REF/src" -I"$REF/lib" -I"$REF" \
+    -DFIXED_POINT=16 \
+    -I"$REPO/tools/shim" -I"$REF/src" -I"$REF/lib" -I"$REF" -I"$REF/kiss" \
     "$REPO/tools/golden_harness.cpp" \
     "$REPO/tools/golden_stubs.cpp" \
+    "$REF/src/OfdmGenerator.cpp" \
+    "$REF/src/PAPRStats.cpp" \
+    "$REF/kiss/kiss_fft.c" \
     "$REF/src/PrbsGenerator.cpp" \
     "$REF/src/ConvEncoder.cpp" \
     "$REF/src/PuncturingEncoder.cpp" \
