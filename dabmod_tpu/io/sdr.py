@@ -180,6 +180,7 @@ class SdrOutput:
         self.mute_no_timestamps = mute_no_timestamps
         maxsize = FRAMES_MAX_SIZE_SYNC if sync else FRAMES_MAX_SIZE_UNSYNC
         self.queue: queue.Queue = queue.Queue(maxsize)
+        self._enqueue_lock = threading.Lock()
         self.underruns = 0
         self.dropped = 0
         self.muted = 0
@@ -220,16 +221,20 @@ class SdrOutput:
     def _enqueue(self, frame: np.ndarray, ts):
         if self.feedback_server is not None and ts is not None:
             self.feedback_server.set_tx_frame(frame, ts)
-        try:
-            # push_overflow: drop oldest on full (lib/ThreadsafeQueue.h)
-            self.queue.put_nowait((frame, ts))
-        except queue.Full:
-            self.queue_overflows += 1
+        # push_overflow: drop oldest on full (lib/ThreadsafeQueue.h).  The
+        # evict-one-then-put must be atomic against other producers, else a
+        # second writer could win the freed slot and the retry would raise
+        # queue.Full into the modulate loop.
+        with self._enqueue_lock:
             try:
-                self.queue.get_nowait()
-            except queue.Empty:
-                pass
-            self.queue.put_nowait((frame, ts))
+                self.queue.put_nowait((frame, ts))
+            except queue.Full:
+                self.queue_overflows += 1
+                try:
+                    self.queue.get_nowait()
+                except queue.Empty:
+                    pass
+                self.queue.put_nowait((frame, ts))
 
     # -- device thread ----------------------------------------------------
     def _device_thread(self):

@@ -227,6 +227,23 @@ class ModRuntime:
                 sdr_rc.add_parameter(
                     stat, f"(Read-only) {stat} counter",
                     lambda st=stat: getattr(self.output, st))
+            # GPSDO / hardware clock depth (ref: src/output/UHD.cpp:377-393
+            # run_statistics and the munin graphs that consume them)
+            dtime = getattr(dev, "device_time", None)
+            if dtime is not None:
+                sdr_rc.add_parameter(
+                    "gpsdo_num_sv", "(Read-only) GPS satellites used",
+                    lambda: dtime.num_sv)
+                sdr_rc.add_parameter(
+                    "gpsdo_holdover", "(Read-only) GPSDO in holdover [0-1]",
+                    lambda: int(dtime.holdover))
+                sdr_rc.add_parameter(
+                    "gps_state", "(Read-only) GPSDO state machine state",
+                    lambda: dtime.gps_state)
+            if hasattr(dev, "get_real_secs"):
+                sdr_rc.add_parameter(
+                    "device_time", "(Read-only) hardware clock seconds",
+                    lambda: dev.get_real_secs())
             rcs.enrol(sdr_rc)
 
         mod = RemoteControllable("modulator")

@@ -430,3 +430,44 @@ def test_sdr_output_clk_gating_and_fault():
         time.sleep(0.02)
     assert isinstance(out.fault, GpsFixLost)
     out._thread.join(timeout=2)
+
+
+def test_gpsdo_stats_flow_to_rc(tmp_path, monkeypatch):
+    """GPSDO SVs/holdover/state and the hardware clock must be enrolled as
+    RC parameters on the sdr module (ref: src/output/UHD.cpp:377-393 and the
+    munin graphs in doc/stats_dabmod_munin.py:16-40)."""
+    from dabmod_tpu import runtime as rt_mod
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import synth_eti_batch
+    from dabmod_tpu.io.sdr import SdrOutput
+    from dabmod_tpu.rc import rcs
+
+    dev, usrp, clock = make_device(refclk_src="gpsdo", pps_src="gpsdo",
+                                   max_gps_holdover_time=30.0)
+    # LEA-M8F style sensors: TIME LOCKED + a GNGGA sentence with 7 SVs
+    usrp.sensors["gps_timelock"] = FakeSensor("TIME LOCKED")
+    usrp.sensors["gps_gngga"] = FakeSensor(
+        "$GNGGA,120000.00,4717.11,N,00833.91,E,1,07,1.0,430.0,M,48.0,M,,")
+    assert dev.is_clk_source_ok()
+
+    out = SdrOutput(dev, sync=False, sample_rate=2_048_000)
+    monkeypatch.setattr(rt_mod, "open_output", lambda s: out)
+    inp = tmp_path / "in.eti"
+    inp.write_bytes(synth_eti_batch(4, mode=1).tobytes())
+    s = ModSettings(input_name=str(inp), output="uhd", output_name="",
+                    batch_tf=1)
+    rt = rt_mod.ModRuntime(s)
+    try:
+        assert rcs.get_param("sdr", "gpsdo_num_sv") == "7"
+        assert rcs.get_param("sdr", "gpsdo_holdover") == "0"
+        assert rcs.get_param("sdr", "gps_state") == "monitor_fix"
+        assert float(rcs.get_param("sdr", "device_time")) > 0
+        # holdover flips when the fix is lost
+        usrp.sensors["gps_timelock"] = FakeSensor("TIME UNLOCKED")
+        clock.sleep(GPS_FIX_CHECK_INTERVAL)
+        dev.is_clk_source_ok()
+        assert rcs.get_param("sdr", "gpsdo_holdover") == "1"
+    finally:
+        out._running = False
+        out._thread.join(timeout=2)
+        rt._out_queue.put(None)

@@ -33,6 +33,24 @@ multigraph modulator_clips
 graph_title Format conversion clips
 graph_category dabmod
 num_clipped_samples.label clipped samples
+
+multigraph sdr_counters
+graph_title SDR output counters
+graph_order underruns dropped queue_overflows frames
+graph_category dabmod
+underruns.label underruns
+dropped.label frames dropped (timestamp in past)
+queue_overflows.label queue overflows
+frames.label frames transmitted
+
+multigraph sdr_gpsdo
+graph_title GPSDO status (ref: doc/stats_dabmod_munin.py:16-40)
+graph_order gpsdo_num_sv gpsdo_holdover
+graph_category dabmod
+gpsdo_num_sv.info Number of GPS satellites used
+gpsdo_num_sv.label GPS SVs
+gpsdo_holdover.info 1 when the GPSDO lost its fix and runs in holdover
+gpsdo_holdover.label holdover
 """
 
 
@@ -60,6 +78,21 @@ def main():
         out.append("multigraph modulator_clips")
         out.append("num_clipped_samples.value "
                    + rc.get_param_value("modulator", "num_clipped_samples"))
+        # SDR module is present only for SDR outputs
+        out.append("multigraph sdr_counters")
+        for key in ("underruns", "dropped", "queue_overflows", "frames"):
+            try:
+                out.append(f"{key}.value "
+                           + rc.get_param_value("sdr", key))
+            except Exception:       # noqa: BLE001
+                break
+        out.append("multigraph sdr_gpsdo")
+        for key in ("gpsdo_num_sv", "gpsdo_holdover"):
+            try:
+                out.append(f"{key}.value "
+                           + rc.get_param_value("sdr", key))
+            except Exception:       # noqa: BLE001
+                break
     finally:
         rc.close()
     print("\n".join(out))
