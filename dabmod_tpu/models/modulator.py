@@ -42,6 +42,20 @@ class Modulator:
         self.mode = mode
         self.p = p = tables.mode_params(mode)
 
+        # fft_engine=kiss: the reference's fixed-point configuration --
+        # Q1.14 output, KISS 1/N transform scaling, no GainControl, and the
+        # float-only back-end stages rejected (src/DabModulator.cpp:144-263)
+        self._kiss = s.fft_engine == "kiss"
+        if self._kiss:
+            if s.filter_taps_file:
+                raise ValueError("fixed point doesn't support fir filter")
+            if s.poly_coef_file:
+                raise ValueError("fixed point doesn't support predistortion")
+            if s.output_rate != 2_048_000:
+                raise ValueError("fixed point doesn't support resampler")
+            if s.enable_cfr:
+                raise ValueError("fixed point doesn't support CFR")
+
         # --- FEC tables (bit domain is int32, see ops.fec.BIT_DTYPE) ---
         self._fic_prbs = np.asarray(
             tables.prbs_bits(p.fic_size_in).astype(np.int32))
@@ -150,6 +164,10 @@ class Modulator:
         if (s.device_format_conversion and s.output == "file"
                 and s.file_output_format in ("s16", "u8", "s8")):
             self._wire_fmt = s.file_output_format
+        if self._kiss:
+            # the kiss configuration's wire format is complexfix = Q1.14
+            # int16 pairs, identical in memory to interleaved s16
+            self._wire_fmt = "s16"
 
         # --- fused OFDM/CFR backend (Pallas VMEM kernel on TPU) ---
         self._ofdm_backend = None
@@ -338,8 +356,15 @@ class Modulator:
                 mer_state["mer_index"] = (state["mer_index"] + B) % S
 
         with jax.named_scope("gain"):
-            gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
-            td = ofdm.apply_gain(td, gains, constant_gain)
+            if self._kiss:
+                # no GainControl in the fixed-point chain; fold the KISS
+                # FFT's 1/N scaling and the Q1.14 LSB scale into one factor:
+                # round(td/2048 * 16384) == round(td * 8)
+                td = cplx.pmap(lambda x: x * (16384.0 / float(p.spacing)),
+                               td)
+            else:
+                gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
+                td = ofdm.apply_gain(td, gains, constant_gain)
 
         with jax.named_scope("guard_interval"):
             if self.settings.ofdm_window_overlap == 0:
@@ -388,6 +413,10 @@ class Modulator:
             out = cplx.planes_to_pairs(iq)       # [B, N, 2] wire form
         if self._wire_fmt is not None:
             with jax.named_scope("format_convert"):
+                if self._kiss:
+                    # quantise to the nearest Q1.14 step (the fixed chain
+                    # rounds at every stage; nearest at the end is closest)
+                    out = jnp.rint(out)
                 out, n_clip = filters.format_convert(out, self._wire_fmt)
                 stats["num_clipped"] = n_clip
                 # pack the narrow integer stream into i32 wire words: the

@@ -232,3 +232,45 @@ def test_full_frame_iq_vs_reference(name, ov):
         # quantisation noise: within 0.05 dB of the kiss floor
         floor = _kiss_floor_db()
         assert mer >= floor - 0.05, (mer, floor)
+
+
+@pytest.mark.parametrize("ov", [0, 90])
+def test_kiss_engine_matches_reference_fixed_output(ov):
+    """fft_engine=kiss capability parity: the modulator's Q1.14 s16 output
+    on the golden ETI payloads must match the reference's fixed-point
+    configuration (src/DabModulator.cpp:144-241) at the int16 quantisation
+    floor."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.models import Modulator, make_default_layout
+
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(1, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=1, fft_engine="kiss",
+                                      ofdm_window_overlap=ov))
+    fic = load("e2e_fixed_fic_in").reshape(8, 96)
+    sub0 = load("e2e_fixed_sub0_in").reshape(8, -1)
+    sub1 = load("e2e_fixed_sub1_in").reshape(8, -1)
+    iq, _, stats = m.modulate(fic, (sub0, sub1), m.init_state())
+    raw = np.asarray(iq)
+    assert raw.dtype == np.int32          # i32-packed s16 wire words
+    mine = np.frombuffer(raw.tobytes(), np.int16).astype(np.float32)
+    name = "e2e_iq_fixed" if ov == 0 else "e2e_iq_fixed_ov90"
+    ref = load(name).astype(np.float32)
+    assert mine.size == ref.size
+    err = mine - ref
+    mer = 10 * np.log10((ref ** 2).sum() / (err ** 2).sum())
+    assert mer >= 46.0, f"kiss-engine MER {mer:.2f} dB below bound"
+    assert int(np.asarray(stats["num_clipped"])) == 0
+
+
+def test_kiss_engine_rejects_float_only_stages():
+    """ref: src/DabModulator.cpp:246-263."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.models import Modulator, make_default_layout
+    layout = make_default_layout(1)
+    for kw in ({"filter_taps_file": "default"},
+               {"output_rate": 4_096_000},
+               {"enable_cfr": True, "cfr_clip": 10.0}):
+        with pytest.raises(ValueError, match="fixed point"):
+            Modulator(layout, ModSettings(dab_mode=1, fft_engine="kiss",
+                                          **kw))
