@@ -151,12 +151,17 @@ def open_sdr_output(settings):
     elif settings.output == "soapy":
         from .soapy_driver import SoapyConfig  # noqa: PLC0415
         device = sdr.SoapyDevice(SoapyConfig.from_settings(settings))
+    elif settings.output == "lime":
+        from .lime_driver import LimeConfig  # noqa: PLC0415
+        device = sdr.LimeDevice(LimeConfig.from_settings(settings))
+    elif settings.output == "bladerf":
+        from .bladerf_driver import BladeRFConfig  # noqa: PLC0415
+        device = sdr.BladeRFDevice(BladeRFConfig.from_settings(settings))
+    elif settings.output == "dexter":
+        from .dexter_driver import DexterConfig  # noqa: PLC0415
+        device = sdr.DexterDevice(DexterConfig.from_settings(settings))
     else:
-        drivers = {"lime": sdr.LimeDevice,
-                   "bladerf": sdr.BladeRFDevice,
-                   "dexter": sdr.DexterDevice,
-                   "loopback": sdr.LoopbackSdrDevice}
-        device = drivers[settings.output]()
+        device = sdr.LoopbackSdrDevice()
         device.set_txgain(settings.sdr_txgain)
         device.set_rxgain(settings.sdr_rxgain)
         if settings.sdr_frequency:

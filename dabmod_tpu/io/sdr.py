@@ -160,11 +160,39 @@ def _load_soapy_device():
     return _SoapyDevice
 
 
+def _load_lime_device():
+    try:
+        from .lime_driver import _load_lms_api  # noqa: PLC0415
+        _load_lms_api()
+    except ImportError:
+        return _missing_driver("LimeSDR", "LimeSuite")
+    from .lime_driver import LimeDevice as _LimeDevice  # noqa: PLC0415
+    return _LimeDevice
+
+
+def _load_bladerf_device():
+    try:
+        import bladerf  # noqa: F401, PLC0415
+    except ImportError:
+        return _missing_driver("BladeRF", "libbladeRF")
+    from .bladerf_driver import BladeRFDevice as _Brf  # noqa: PLC0415
+    return _Brf
+
+
+def _load_dexter_device():
+    try:
+        import iio  # noqa: F401, PLC0415
+    except ImportError:
+        return _missing_driver("Dexter", "libiio")
+    from .dexter_driver import DexterDevice as _Dexter  # noqa: PLC0415
+    return _Dexter
+
+
 UhdDevice = _load_uhd_device()
 SoapyDevice = _load_soapy_device()
-LimeDevice = _missing_driver("LimeSDR", "LimeSuite")
-BladeRFDevice = _missing_driver("BladeRF", "libbladeRF")
-DexterDevice = _missing_driver("Dexter", "libiio")
+LimeDevice = _load_lime_device()
+BladeRFDevice = _load_bladerf_device()
+DexterDevice = _load_dexter_device()
 
 
 class SdrOutput:

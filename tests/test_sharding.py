@@ -12,7 +12,10 @@ from dabmod_tpu.parallel.sharding import ShardedModulator, make_mesh
 
 @pytest.fixture(scope="module")
 def setup():
-    assert jax.device_count() >= 8, "tests need the 8-device CPU mesh"
+    if jax.device_count() < 8:
+        # DABMOD_TEST_ON_TPU=1 runs on the one real chip; the sharding
+        # tests specifically need the virtual 8-device CPU mesh
+        pytest.skip("tests need the 8-device CPU mesh")
     specs = ((0, 24, 0x22), (48, 48, 0x02))
     layout = make_default_layout(1, subch_specs=specs)
     m = Modulator(layout, ModSettings(dab_mode=1))
