@@ -104,7 +104,25 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=None,
                     help="fixed learning rate (default: annealing schedule)")
     ap.add_argument("--model", choices=("poly", "lut"), default="poly")
+    ap.add_argument("--control-port", type=int, default=0,
+                    help="run as a yamlrpc-controlled service on this UDP "
+                         "port instead of a fixed iteration count "
+                         "(ref: python/dpdce.py:135)")
     args = ap.parse_args(argv)
+    if args.control_port:
+        from .server import DpdceServer  # noqa: PLC0415
+        srv = DpdceServer(args.control_port, rc_endpoint=args.rc,
+                          feedback_host=args.feedback_host,
+                          feedback_port=args.feedback_port,
+                          samples_per_burst=args.samples,
+                          model_kind=args.model)
+        log.info("dpdce service listening on yamlrpc udp %d", srv.port)
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            srv.stop()
+        return
     run_engine(args.rc, args.feedback_host, args.feedback_port,
                args.iterations, args.samples, learning_rate=args.lr,
                model_kind=args.model)
