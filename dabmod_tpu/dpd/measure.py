@@ -20,7 +20,12 @@ class Measure:
         while num_bytes > 0:
             b = sock.recv(num_bytes)
             if not b:
-                break
+                # the feedback server closes without replying when no TX
+                # frame arrived within its window (modulator still warming
+                # up or muted) -- surface that instead of a struct error
+                raise RuntimeError(
+                    "feedback server returned no burst (modulator not "
+                    "transmitting yet?)")
             bufs.append(b)
             num_bytes -= len(b)
         return b"".join(bufs)

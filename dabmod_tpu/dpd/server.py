@@ -49,8 +49,9 @@ class DpdceServer:
         self.dump_dir = dump_dir
         self._new_model()
         self.iteration = 0
+        self._seq = 0
         self.results = {"state": "Idle", "summary": ["Idle"],
-                        "statistic": "", "model": model_kind}
+                        "statistic": "", "model": model_kind, "seq": 0}
         self._cmds: queue.Queue = queue.Queue()
         self._running = True
         self._worker = threading.Thread(target=self._work_loop, daemon=True,
@@ -111,8 +112,9 @@ class DpdceServer:
 
     def _publish(self, state: str, message: str, **extra):
         summary = list(self.results.get("summary", []))[-9:] + [message]
+        self._seq += 1
         self.results = {**self.results, "state": state, "summary": summary,
-                        **extra}
+                        "seq": self._seq, **extra}
 
     def _measure_burst(self):
         tx, _tx_ts, rx, _rx_ts = self.measure.get_samples()

@@ -21,6 +21,7 @@ import argparse
 import collections
 import json
 import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -260,6 +261,62 @@ class DpdPanel:
         self._stop.set()
 
 
+class RemoteDpdPanel:
+    """Drives a separate `dpdce --control-port` service over yamlrpc --
+    the reference's GUI<->DPDCE process split (python/gui/api.py:52,96-163).
+    Same surface as DpdPanel so make_handler doesn't care which it got."""
+
+    def __init__(self, dpdce_port: int):
+        self.dpdce_port = dpdce_port
+        self.history = collections.deque(maxlen=200)
+        self._thread = None
+        self._stop = threading.Event()
+
+    @property
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def start(self, iterations: int, kind: str) -> bool:
+        if self.running:
+            return False
+        from .rc.yamlrpc import ResponseError, Socket
+        self._stop.clear()
+
+        def work():
+            cli = Socket(0, timeout=5.0)
+            try:
+                res = cli.call_rpc_method(self.dpdce_port, "get_results", {})
+                seq = res.get("seq", 0)
+                for _ in range(iterations):
+                    if self._stop.is_set():
+                        break
+                    cli.call_rpc_method(self.dpdce_port, "trigger_run", {})
+                    # wait until the service publishes a fresh Idle result
+                    # (success or failure) for this command
+                    for _ in range(600):
+                        res = cli.call_rpc_method(self.dpdce_port,
+                                                  "get_results", {})
+                        if res.get("seq", 0) > seq \
+                                and res.get("state") == "Idle":
+                            seq = res["seq"]
+                            self.history.append(res)
+                            break
+                        if self._stop.is_set():
+                            break
+                        time.sleep(0.1)
+            except (ResponseError, TimeoutError, OSError, ValueError) as e:
+                self.history.append({"state": "error", "error": str(e)})
+            finally:
+                cli.close()
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        return True
+
+    def stop(self):
+        self._stop.set()
+
+
 def make_handler(rc, dpd_panel: DpdPanel | None = None,
                  feedback: tuple[str, int] | None = None,
                  sample_rate: int = 2_048_000):
@@ -347,7 +404,7 @@ def make_handler(rc, dpd_panel: DpdPanel | None = None,
 
 
 def serve(rc_endpoint: str, port: int, feedback: str = "",
-          sample_rate: int = 2_048_000):
+          sample_rate: int = 2_048_000, dpdce_port: int = 0):
     from .rc.client import ModRemoteControl
     rc = ModRemoteControl(rc_endpoint)
     fb = None
@@ -356,6 +413,9 @@ def serve(rc_endpoint: str, port: int, feedback: str = "",
         host, fport = feedback.rsplit(":", 1)
         fb = (host or "127.0.0.1", int(fport))
         panel = DpdPanel(rc_endpoint, fb[0], fb[1])
+    if dpdce_port:
+        # reference-style split: the GUI drives a separate dpdce service
+        panel = RemoteDpdPanel(dpdce_port)
     httpd = ThreadingHTTPServer(
         ("127.0.0.1", port),
         make_handler(rc, panel, fb, sample_rate))
@@ -369,8 +429,12 @@ def main(argv=None):
     ap.add_argument("--feedback", default="",
                     help="host:port of the modulator's DPD feedback server")
     ap.add_argument("--sample-rate", type=int, default=2_048_000)
+    ap.add_argument("--dpdce-port", type=int, default=0,
+                    help="drive a separate `dpdce --control-port` service "
+                         "over yamlrpc instead of the in-process engine")
     args = ap.parse_args(argv)
-    httpd = serve(args.rc, args.port, args.feedback, args.sample_rate)
+    httpd = serve(args.rc, args.port, args.feedback, args.sample_rate,
+                  args.dpdce_port)
     print(f"GUI on http://127.0.0.1:{args.port}")
     httpd.serve_forever()
 

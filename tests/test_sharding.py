@@ -99,6 +99,8 @@ def test_sharded_pallas_cfr_stats_match(setup):
 
 
 def test_dryrun_multichip_entrypoint():
+    if jax.device_count() < 8:
+        pytest.skip("dryrun needs the 8-device CPU mesh")
     import sys
     sys.path.insert(0, ".")
     import __graft_entry__ as ge

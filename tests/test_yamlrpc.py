@@ -166,3 +166,20 @@ def test_service_unknown_method(service):
     srv, cli, adapt = service
     with pytest.raises(yamlrpc.ResponseError, match="not understood"):
         cli.call_rpc_method(srv.port, "frobnicate", {})
+
+
+def test_gui_remote_dpd_panel(service):
+    """The GUI's RemoteDpdPanel drives the service like the reference GUI
+    drives dpdce (python/gui/api.py:96-163)."""
+    from dabmod_tpu.gui import RemoteDpdPanel
+    srv, cli, adapt = service
+    panel = RemoteDpdPanel(srv.port)
+    assert panel.start(iterations=2, kind="poly")
+    deadline = time.time() + 15
+    while time.time() < deadline and len(panel.history) < 2:
+        time.sleep(0.1)
+    panel.stop()
+    assert len(panel.history) >= 2
+    assert [h["iteration"] for h in list(panel.history)[:2]] == [0, 1]
+    assert all(h["state"] == "Idle" for h in panel.history)
+    assert len(adapt.pushed) >= 2
