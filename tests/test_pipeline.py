@@ -137,16 +137,17 @@ def test_cfr_reduces_papr():
     assert p_with < p_without
 
 
-@pytest.mark.parametrize("mode", [2, 3])
+@pytest.mark.parametrize("mode", [2, 3, 4])
 def test_frontend_matches_reference_other_modes(mode):
-    """Modes 2/3 front end (incl. mode-3 128-byte FIC / 153 symbols) against
-    the reference chain."""
+    """Modes 2/3/4 front end (mode-3 128-byte FIC / 153 symbols, mode-4
+    2-CIF transmission frames) against the reference chain."""
     layout = make_default_layout(mode, subch_specs=((0, 24, 0x22),))
     m = Modulator(layout, ModSettings(dab_mode=mode))
     p = tables.mode_params(mode)
 
-    fic = load(f"e2e_m{mode}_fic_in").reshape(2, p.fic_size_in)
-    sub = load(f"e2e_m{mode}_sub_in").reshape(2, -1)
+    nframes = 2 * p.cif_count          # ETI frames for 2 TFs
+    fic = load(f"e2e_m{mode}_fic_in").reshape(nframes, p.fic_size_in)
+    sub = load(f"e2e_m{mode}_sub_in").reshape(nframes, -1)
     expect = load(f"e2e_m{mode}_symbols").reshape(2, p.nb_symbols,
                                                   p.nb_carriers)
 

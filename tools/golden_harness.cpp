@@ -254,11 +254,17 @@ int main(int argc, char** argv) {
     }
 
     // ---- End-to-end front ends: ETI payloads -> diff-mod symbol stream ----
-    // Modes 2 and 3, one EEP-A3 64kbps sub-channel, 2 ETI frames = 2 TFs.
-    for (unsigned mode : {2u, 3u}) {
-        const unsigned mid = mode;          // ETI MID == mode for 2,3
-        const size_t carriers = (mode == 2) ? 384 : 192;
+    // Modes 2, 3 and 4, one EEP-A3 64kbps sub-channel, 2 TFs each
+    // (mode 4 collects 2 CIFs per TF, so it consumes 4 ETI frames).
+    for (unsigned mode : {2u, 3u, 4u}) {
+        // per-mode RNG seed: adding a mode must not churn the other
+        // sections' fixtures
+        rng_state = 0xD1B54A32D192ED03ull ^ mode;
+        const unsigned mid = mode;          // ETI MID == mode for 2,3,4
+        const size_t carriers = (mode == 2) ? 384
+                              : (mode == 3) ? 192 : 768;
         const size_t fic_in = (mid == 3) ? 128 : 96;
+        const int nframes = (mode == 4) ? 4 : 2;
         FakeEtiSource src;
         src.m_subs.push_back(std::make_shared<SubchannelSource>(0, 24, 0x22));
 
@@ -288,7 +294,7 @@ int main(int argc, char** argv) {
         std::vector<uint8_t> all_fic, all_sub;
         std::vector<complexf> all_syms;
         Buffer tfblock;
-        for (int frame = 0; frame < 2; frame++) {
+        for (int frame = 0; frame < nframes; frame++) {
             Buffer ficIn, t1, t2, ficOut;
             fill_bytes(ficIn, fic_in);
             { const uint8_t* p = (const uint8_t*)ficIn.getData();
@@ -337,6 +343,7 @@ int main(int argc, char** argv) {
     // Mode 1, two sub-channels: EEP-A3 64kbps @CU0 (48 CU) and UEP 128kbps
     // level 3 @CU48.  8 ETI frames = 2 transmission frames.
     {
+        rng_state = 0xA0761D6478BD642Full;   // section-stable fixtures
         FakeEtiSource src;
         src.m_subs.push_back(std::make_shared<SubchannelSource>(0, 24, 0x22));
         src.m_subs.push_back(std::make_shared<SubchannelSource>(48, 48, 0x02));
@@ -442,6 +449,7 @@ int main(int argc, char** argv) {
     // no GainControl (ref: src/DabModulator.cpp:144-241 fixedPoint
     // branches), so the dump is the raw Q1.14 baseband I/Q. ----
     {
+        rng_state = 0xE7037ED1A0B428DBull;   // section-stable fixtures
         FakeEtiSource src;
         src.m_subs.push_back(std::make_shared<SubchannelSource>(0, 24, 0x22));
         src.m_subs.push_back(std::make_shared<SubchannelSource>(48, 48, 0x02));
