@@ -25,6 +25,41 @@ from .model_lut import Lut
 log = logging.getLogger("dpdce")
 
 
+def normalise_burst(tx: np.ndarray, rx: np.ndarray):
+    """Peak-normalise a measured TX/RX pair and align RX to TX; raises on
+    an empty/invalid burst (the caller decides whether to retry)."""
+    if tx.size == 0 or not (np.all(np.isfinite(tx))
+                            and np.all(np.isfinite(rx)) and np.any(rx)):
+        raise ValueError("empty/invalid feedback burst")
+    peak = float(np.abs(tx).max()) or 1.0
+    txn, rxn = tx / peak, rx / peak
+    return txn, phase_align(txn, normalise_rx(txn, rxn))
+
+
+def adapt_iteration(model, model_kind: str, lr: float,
+                    txn: np.ndarray, rxn: np.ndarray) -> dict:
+    """One shared adaptation step: train `model` on the normalised burst and
+    return the result record, or a 'too_few_bins' record.  Used by both the
+    fixed-iteration engine below and the yamlrpc service (dpd/server.py) so
+    the two engines cannot drift."""
+    if model_kind == "lut":
+        model.learning_rate = lr
+        model.train(txn, rxn)
+        resid = float(np.mean(np.abs(model.apply(txn) - txn) ** 2))
+        return {"state": "adapted", "residual": resid, "lr": lr}
+    es = ExtractStatistic(peak_amplitude=1.0)
+    tx_avg, rx_avg, ph = es.extract(txn, rxn)
+    if tx_avg.size < 8:
+        return {"state": "too_few_bins", "bins": int(tx_avg.size)}
+    model.learning_rate_am = model.learning_rate_pm = lr
+    model.train(tx_avg, rx_avg, ph)
+    resid = float(np.mean((model.am_am(rx_avg) - tx_avg) ** 2))
+    return {"state": "adapted", "residual": resid, "lr": lr,
+            "bins": int(tx_avg.size),
+            "coefs_am": np.round(model.coefs_am, 6).tolist(),
+            "coefs_pm": np.round(model.coefs_pm, 6).tolist()}
+
+
 def run_engine(rc_endpoint: str, feedback_host: str, feedback_port: int,
                iterations: int = 10, samples_per_burst: int = 40960,
                coef_path: str = "/tmp/dabmod_tpu_poly.coef",
@@ -52,43 +87,25 @@ def run_engine(rc_endpoint: str, feedback_host: str, feedback_port: int,
             break
         lr = fixed_lr if fixed_lr is not None else get_learning_rate(i)
         tx, tx_ts, rx, rx_ts = measure.get_samples()
-        if tx.size == 0 or not (np.all(np.isfinite(tx))
-                                and np.all(np.isfinite(rx))
-                                and np.any(rx)):
+        try:
+            txn, rxn = normalise_burst(tx, rx)
+        except ValueError:
             log.warning("empty/invalid burst, retrying")
             report(iteration=i, state="empty_burst")
             time.sleep(sleep_s)
             continue
-        peak = float(np.abs(tx).max()) or 1.0
-        txn, rxn = tx / peak, rx / peak
-        rxn = phase_align(txn, normalise_rx(txn, rxn))
-        if model_kind == "lut":
-            model.learning_rate = lr
-            model.train(txn, rxn)
-            adapt.set_predistorter(model.get_dpd_data())
-            resid = float(np.mean(np.abs(model.apply(txn) - txn) ** 2))
-            log.info("iteration %d: lut residual %.3e", i, resid)
-            report(iteration=i, state="adapted", residual=resid, lr=lr)
+        result = adapt_iteration(model, model_kind, lr, txn, rxn)
+        if result["state"] == "too_few_bins":
+            log.warning("iteration %d: not enough bins (%d)", i,
+                        result["bins"])
+            report(iteration=i, **result)
             time.sleep(sleep_s)
             continue
-        es = ExtractStatistic(peak_amplitude=1.0)
-        tx_avg, rx_avg, ph = es.extract(txn, rxn)
-        if tx_avg.size < 8:
-            log.warning("iteration %d: not enough bins (%d)", i, tx_avg.size)
-            report(iteration=i, state="too_few_bins", bins=int(tx_avg.size))
-            time.sleep(sleep_s)
-            continue
-        model.learning_rate_am = model.learning_rate_pm = lr
-        model.train(tx_avg, rx_avg, ph)
         adapt.set_predistorter(model.get_dpd_data())
-        resid = float(np.mean((model.am_am(rx_avg) - tx_avg) ** 2))
-        log.info("iteration %d: %d bins, am residual %.3e, coefs %s",
-                 i, tx_avg.size, resid,
-                 np.round(model.coefs_am, 4).tolist())
-        report(iteration=i, state="adapted", residual=resid, lr=lr,
-               bins=int(tx_avg.size),
-               coefs_am=np.round(model.coefs_am, 6).tolist(),
-               coefs_pm=np.round(model.coefs_pm, 6).tolist())
+        log.info("iteration %d: residual %.3e%s", i, result["residual"],
+                 f", coefs {result['coefs_am']}"
+                 if "coefs_am" in result else "")
+        report(iteration=i, **result)
         time.sleep(sleep_s)
     return model
 

@@ -22,8 +22,8 @@ import numpy as np
 
 from ..rc.yamlrpc import Socket
 from . import Adapt, ExtractStatistic, Measure, Poly
+from .dpdce import adapt_iteration, normalise_burst
 from .heuristics import get_learning_rate
-from .measure import normalise_rx, phase_align
 from .model_lut import Lut
 
 log = logging.getLogger("dabmod_tpu.dpdce")
@@ -118,45 +118,26 @@ class DpdceServer:
 
     def _measure_burst(self):
         tx, _tx_ts, rx, _rx_ts = self.measure.get_samples()
-        if tx.size == 0 or not (np.all(np.isfinite(tx))
-                                and np.all(np.isfinite(rx))
-                                and np.any(rx)):
-            raise RuntimeError("empty/invalid feedback burst")
-        peak = float(np.abs(tx).max()) or 1.0
-        txn, rxn = tx / peak, rx / peak
-        return txn, phase_align(txn, normalise_rx(txn, rxn))
+        return normalise_burst(tx, rx)
 
     def _run_iteration(self):
         self._publish("Measure", f"iteration {self.iteration}: measuring")
         txn, rxn = self._measure_burst()
         self._dump(txn, rxn)
         lr = get_learning_rate(self.iteration)
-        if self.model_kind == "lut":
-            self.model.learning_rate = lr
-            self.model.train(txn, rxn)
-            resid = float(np.mean(np.abs(self.model.apply(txn) - txn) ** 2))
-            extra = {"residual": resid, "lr": lr}
-        else:
-            es = ExtractStatistic(peak_amplitude=1.0)
-            tx_avg, rx_avg, ph = es.extract(txn, rxn)
-            if tx_avg.size < 8:
-                self._publish("Idle",
-                              f"too few amplitude bins ({tx_avg.size})")
-                return
-            self.model.learning_rate_am = self.model.learning_rate_pm = lr
-            self.model.train(tx_avg, rx_avg, ph)
-            resid = float(np.mean((self.model.am_am(rx_avg) - tx_avg) ** 2))
-            extra = {"residual": resid, "lr": lr,
-                     "bins": int(tx_avg.size),
-                     "coefs_am": np.round(self.model.coefs_am, 6).tolist(),
-                     "coefs_pm": np.round(self.model.coefs_pm, 6).tolist()}
+        result = adapt_iteration(self.model, self.model_kind, lr, txn, rxn)
+        if result["state"] == "too_few_bins":
+            self._publish("Idle",
+                          f"too few amplitude bins ({result['bins']})")
+            return
+        result.pop("state")
         self._publish("Adapt", f"iteration {self.iteration}: adapting")
         self.adapt.set_predistorter(self.model.get_dpd_data())
         self.iteration += 1
         self._publish("Idle",
                       f"iteration {self.iteration - 1}: residual "
-                      f"{extra['residual']:.3e}",
-                      iteration=self.iteration - 1, **extra)
+                      f"{result['residual']:.3e}",
+                      iteration=self.iteration - 1, **result)
 
     def _reset(self):
         """Back to the identity predistorter (ref: python/dpdce.py:424-427
@@ -170,10 +151,20 @@ class DpdceServer:
     def _dump_path(self, dump_id: str) -> str:
         return os.path.join(self.dump_dir, f"dpdce_dump_{dump_id}.npz")
 
+    DUMPS_KEPT = 20
+
     def _dump(self, txn, rxn) -> str:
         dump_id = str(int(time.time() * 1000))
         np.savez(self._dump_path(dump_id), tx=txn, rx=rxn)
         self.results = {**self.results, "last_dump_id": dump_id}
+        self._dump_ids = getattr(self, "_dump_ids", []) + [dump_id]
+        # keep a bounded history; a long-running service must not fill /tmp
+        while len(self._dump_ids) > self.DUMPS_KEPT:
+            old = self._dump_ids.pop(0)
+            try:
+                os.remove(self._dump_path(old))
+            except OSError:
+                pass
         return dump_id
 
     def _restore_dump(self, params):

@@ -287,6 +287,16 @@ class RemoteDpdPanel:
             try:
                 res = cli.call_rpc_method(self.dpdce_port, "get_results", {})
                 seq = res.get("seq", 0)
+                # the service's model is fixed at its startup (--model);
+                # surface a mismatch instead of silently training the
+                # other model
+                if res.get("model") and res["model"] != kind:
+                    self.history.append({
+                        "state": "error",
+                        "error": f"dpdce service runs model "
+                                 f"'{res['model']}', not '{kind}' -- "
+                                 f"restart it with --model {kind}"})
+                    return
                 for _ in range(iterations):
                     if self._stop.is_set():
                         break

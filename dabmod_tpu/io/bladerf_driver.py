@@ -1,15 +1,18 @@
 """BladeRF output driver.
 
 Port of the reference's Output::BladeRF (src/output/BladeRF.cpp:49-314)
-against the official ``bladerf`` Python bindings (python3-bladerf ships with
-libbladeRF).  The `bladerf_module` is injectable so the driver -- VCTCXO
-tamer refclk discipline, SC16-Q11 sync-TX configuration, dB gain, bandwidth
--- is testable without hardware (tests/test_vendor_drivers.py).
+against the official Nuand ``bladerf`` Python bindings, whose surface is
+object-based: ``BladeRF()`` device handles expose ``Channel(CHANNEL_TX(0))``
+objects with ``sample_rate``/``frequency``/``gain``/``bandwidth``
+properties, ``sync_config(...)`` and ``sync_tx(...)``.  The binding module
+is injectable so the driver -- VCTCXO tamer refclk discipline, SC16-Q11
+sync-TX configuration, dB gain, bandwidth -- is testable without hardware
+(tests/test_vendor_drivers.py).
 
 The modulator feeds this device floats already normalised to the Q11 full
 scale (settings.normalise = 2047/NORMALISE_FACTOR_SDR, mirroring the
 reference where FormatConverter runs before the output); the driver rounds
-and saturates to int16 pairs for bladerf_sync_tx.
+and saturates to int16 pairs for sync_tx.
 """
 from __future__ import annotations
 
@@ -56,51 +59,63 @@ class BladeRFConfig:
 class BladeRFDevice(SdrDevice):
     """BladeRF driver (ref: src/output/BladeRF.cpp:49-314).
 
-    `bladerf_module` is injectable; by default `import bladerf`.  The module
-    must expose `BladeRF()` (device handle), `CHANNEL_TX(ch)`,
-    `ChannelLayout.TX_X1`, `Format.SC16_Q11`, and the device handle the
-    methods used below (sample_rate/frequency/gain/bandwidth accessors,
-    `set_vctcxo_tamer_mode`, `sync_config`, `enable_module`, `sync_tx`,
-    `get_rfic_temperature`, `close`)."""
+    `bladerf_module` is injectable; by default `import bladerf`.  Symbols
+    are resolved from the module or its `_bladerf` extension (the package
+    re-exports them, but older releases only define them on `_bladerf`)."""
 
     def __init__(self, conf: BladeRFConfig | None = None,
                  bladerf_module=None):
         self.conf = c = conf or BladeRFConfig()
         if bladerf_module is None:
             import bladerf as bladerf_module  # noqa: PLC0415
-        self._brf = bladerf_module
+        # the names live in bladerf._bladerf; the package usually
+        # re-exports them
+        api = bladerf_module
+        if not hasattr(api, "BladeRF") and hasattr(api, "_bladerf"):
+            api = api._bladerf
+        self._api = api
 
         log.info("BladeRF: creating the device with: %r", c.device_args)
-        self.dev = bladerf_module.BladeRF()
-        self._channel = bladerf_module.CHANNEL_TX(0)
+        self.dev = (api.BladeRF(c.device_args) if c.device_args
+                    else api.BladeRF())
+        self.ch = self.dev.Channel(api.CHANNEL_TX(0))
 
-        # VCTCXO tamer clock discipline (ref: src/output/BladeRF.cpp:66-83)
-        if c.refclk_src == "pps":
-            self.dev.set_vctcxo_tamer_mode("1pps")
-        elif c.refclk_src == "10mhz":
-            self.dev.set_vctcxo_tamer_mode("10mhz")
+        # VCTCXO tamer clock discipline (ref: src/output/BladeRF.cpp:66-83).
+        # Exposed by libbladeRF; warn instead of crashing if this binding
+        # build lacks the wrapper.
+        if c.refclk_src in ("pps", "10mhz"):
+            mode = "1pps" if c.refclk_src == "pps" else "10mhz"
+            setter = getattr(self.dev, "set_vctcxo_tamer_mode", None)
+            if setter is not None:
+                setter(mode)
+            else:
+                log.error("BladeRF: refclk_source=%s requested but this "
+                          "python binding exposes no VCTCXO tamer control",
+                          c.refclk_src)
 
-        self.dev.set_sample_rate(self._channel, int(c.sample_rate))
+        self.ch.sample_rate = int(c.sample_rate)
         log.info("BladeRF: sample rate set to %.1f kHz",
-                 self.dev.get_sample_rate(self._channel) / 1e3)
+                 self.ch.sample_rate / 1e3)
 
         self.tune(c.lo_offset, c.frequency)
         log.info("BladeRF: actual frequency %.3f kHz",
                  self.get_tx_freq() / 1e3)
 
         # gain is plain dB (ref: src/output/BladeRF.cpp:113-118)
-        self.dev.set_gain(self._channel, int(c.txgain))
+        self.ch.gain = int(c.txgain)
         self.txgain = float(c.txgain)
         if c.bandwidth > 0:
-            self.dev.set_bandwidth(self._channel, int(c.bandwidth))
+            self.ch.bandwidth = int(c.bandwidth)
 
         # SC16 Q11 sync TX without metadata
         # (ref: src/output/BladeRF.cpp:128-148)
-        self.dev.sync_config(bladerf_module.ChannelLayout.TX_X1,
-                             bladerf_module.Format.SC16_Q11,
-                             NUM_BUFFERS, BUFFER_SIZE, NUM_TRANSFERS,
-                             TIMEOUT_MS)
-        self.dev.enable_module(self._channel, True)
+        self.dev.sync_config(layout=api.ChannelLayout.TX_X1,
+                             fmt=api.Format.SC16_Q11,
+                             num_buffers=NUM_BUFFERS,
+                             buffer_size=BUFFER_SIZE,
+                             num_transfers=NUM_TRANSFERS,
+                             stream_timeout=TIMEOUT_MS)
+        self.ch.enable = True
 
         self.num_frames_modulated = 0
 
@@ -114,30 +129,33 @@ class BladeRFDevice(SdrDevice):
         self.conf.lo_offset = self.lo_offset = 0.0
         if frequency == 0:
             return
-        self.dev.set_frequency(self._channel, int(frequency))
-        self.frequency = float(self.dev.get_frequency(self._channel))
+        self.ch.frequency = int(frequency)
+        self.frequency = float(self.ch.frequency)
 
     def get_tx_freq(self) -> float:
-        return float(self.dev.get_frequency(self._channel))
+        return float(self.ch.frequency)
 
     def set_txgain(self, gain: float):
         self.conf.txgain = gain
-        self.dev.set_gain(self._channel, int(gain))
+        self.ch.gain = int(gain)
         self.txgain = float(gain)
 
     def get_txgain(self) -> float:
-        return float(self.dev.get_gain(self._channel))
+        return float(self.ch.gain)
 
     def set_bandwidth(self, bandwidth: float):
-        self.dev.set_bandwidth(self._channel, int(bandwidth))
+        self.ch.bandwidth = int(bandwidth)
 
     def get_bandwidth(self) -> float:
-        return float(self.dev.get_bandwidth(self._channel))
+        return float(self.ch.bandwidth)
 
     def get_temperature(self) -> float | None:
         try:
-            return float(self.dev.get_rfic_temperature())
-        except RuntimeError as e:
+            getter = getattr(self.dev, "get_rfic_temperature", None)
+            if getter is not None:
+                return float(getter())
+            return float(self.dev.rfic_temperature)
+        except (RuntimeError, AttributeError) as e:
             log.error("Error getting BladeRF temperature: %s", e)
             return None
 
@@ -163,5 +181,5 @@ class BladeRFDevice(SdrDevice):
         return {"frames": self.num_frames_modulated}
 
     def close(self):
-        self.dev.enable_module(self._channel, False)
+        self.ch.enable = False
         self.dev.close()

@@ -107,6 +107,15 @@ class DexterDevice(SdrDevice):
         self._w(self._dsp, "stream0_flush_fifo_trigger", 1)
         self._w(self._dsp, "stream0_start_clks", 0)
 
+        # enable the TX scan channel before creating the buffer -- libiio
+        # refuses a buffer on a device with no enabled channels
+        # (ref: src/output/Dexter.cpp:145-151)
+        channels = getattr(self._ad9957_tx0, "channels", [])
+        if not channels:
+            raise RuntimeError("Dexter: Cannot create IIO channel")
+        self._tx_channel = channels[0]
+        self._tx_channel.enabled = True
+
         self._buffer = iio_module.Buffer(self._ad9957_tx0,
                                          IIO_BUFFER_LEN_SAMPS)
         # flush the FPGA FIFO with one zero buffer (ref: Dexter.cpp:158-169)

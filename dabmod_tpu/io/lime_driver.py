@@ -73,33 +73,217 @@ class LimeConfig:
 
 
 def _load_lms_api():
-    """Build the LMS facade over libLimeSuite with ctypes.
+    """Build the Pythonic LMS facade over libLimeSuite with ctypes.
 
-    Only the entry points the driver uses are bound; raises ImportError when
-    the library is absent so `sdr._load_lime_device` can fall back to the
-    informative missing-driver stub."""
-    import ctypes  # noqa: PLC0415
+    Binds the entry points and struct layouts of the stable public
+    LimeSuite.h C API (LimeSuite v17+); raises ImportError when the library
+    is absent so `sdr._load_lime_device` falls back to the informative
+    missing-driver stub.  Each facade method raises RuntimeError with
+    LMS_GetLastErrorMessage text on a negative status."""
+    import ctypes as ct  # noqa: PLC0415
+    import ctypes.util  # noqa: PLC0415
+    name = ctypes.util.find_library("LimeSuite") or "libLimeSuite.so"
     try:
-        lib = ctypes.CDLL("libLimeSuite.so")
+        lib = ct.CDLL(name)
     except OSError as e:
         raise ImportError(f"libLimeSuite not available: {e}") from e
 
+    double = ct.c_double          # LimeSuite float_type
+
+    class StreamT(ct.Structure):  # lms_stream_t
+        _fields_ = [("handle", ct.c_size_t), ("isTx", ct.c_bool),
+                    ("channel", ct.c_uint32), ("fifoSize", ct.c_uint32),
+                    ("throughputVsLatency", ct.c_float),
+                    ("dataFmt", ct.c_int)]
+
+    class StreamMetaT(ct.Structure):  # lms_stream_meta_t
+        _fields_ = [("timestamp", ct.c_uint64),
+                    ("waitForTimestamp", ct.c_bool),
+                    ("flushPartialPacket", ct.c_bool)]
+
+    class StreamStatusT(ct.Structure):  # lms_stream_status_t
+        _fields_ = [("active", ct.c_bool),
+                    ("fifoFilledCount", ct.c_uint32),
+                    ("fifoSize", ct.c_uint32), ("underrun", ct.c_uint32),
+                    ("overrun", ct.c_uint32),
+                    ("droppedPackets", ct.c_uint32),
+                    ("sampleRate", double), ("linkRate", double),
+                    ("timestamp", ct.c_uint64)]
+
+    lib.LMS_GetLastErrorMessage.restype = ct.c_char_p
+    LMS_FMT = {"f32": 0, "i16": 1, "i12": 2}
+
     class _CtypesLms:
-        LMS_CH_TX = 1
-        LMS_CLOCK_CGEN = 3
-        LMS_PATH_TX2 = 2
-        LMS_GFIR3 = 2
+        LMS_CH_TX = 1            # bool dir_tx
+        LMS_CLOCK_CGEN = 3       # LimeSuite.h LMS_CLOCK_CGEN
+        LMS_PATH_TX2 = 2         # TX antenna path index
+        LMS_GFIR3 = 2            # lms_gfir_t
 
         def __init__(self):
             self._lib = lib
-            self._dev = None
+            self._dev = ct.c_void_p()
 
-        # The facade keeps the LMS_* names so the driver body reads like the
-        # reference; each method returns the C status int.
-        def __getattr__(self, name):
-            if not name.startswith("LMS_"):
-                raise AttributeError(name)
-            return getattr(self._lib, name)
+        def _ck(self, status, what):
+            if status < 0:
+                msg = (lib.LMS_GetLastErrorMessage() or b"").decode()
+                raise RuntimeError(f"LMS {what} failed: {msg}")
+            return status
+
+        # ------------------------------------------------------ lifecycle
+        def open(self, device_args=""):
+            n = self._ck(lib.LMS_GetDeviceList(None), "GetDeviceList")
+            if n < 1:
+                raise RuntimeError("Cannot find LimeSDR output device")
+            info = (ct.c_char * 256 * n)()
+            self._ck(lib.LMS_GetDeviceList(info), "GetDeviceList")
+            self._ck(lib.LMS_Open(ct.byref(self._dev), info[0], None),
+                     "Open")
+
+        def reset(self):
+            self._ck(lib.LMS_Reset(self._dev), "Reset")
+
+        def init(self):
+            self._ck(lib.LMS_Init(self._dev), "Init")
+
+        def close(self):
+            lib.LMS_Close(self._dev)
+
+        # -------------------------------------------------------- control
+        def enable_channel(self, dir_tx, chan, enabled):
+            self._ck(lib.LMS_EnableChannel(self._dev, ct.c_bool(dir_tx),
+                                           ct.c_size_t(chan),
+                                           ct.c_bool(enabled)),
+                     "EnableChannel")
+
+        def set_sample_rate(self, rate, oversample):
+            self._ck(lib.LMS_SetSampleRate(self._dev, double(rate),
+                                           ct.c_size_t(oversample)),
+                     "SetSampleRate")
+
+        def get_sample_rate(self, dir_tx, chan):
+            host, rf = double(), double()
+            self._ck(lib.LMS_GetSampleRate(self._dev, ct.c_bool(dir_tx),
+                                           ct.c_size_t(chan),
+                                           ct.byref(host), ct.byref(rf)),
+                     "GetSampleRate")
+            return host.value
+
+        def set_clock_freq(self, clk_id, freq):
+            self._ck(lib.LMS_SetClockFreq(self._dev, ct.c_size_t(clk_id),
+                                          double(freq)), "SetClockFreq")
+
+        def get_clock_freq(self, clk_id):
+            out = double()
+            self._ck(lib.LMS_GetClockFreq(self._dev, ct.c_size_t(clk_id),
+                                          ct.byref(out)), "GetClockFreq")
+            return out.value
+
+        def set_lo_frequency(self, dir_tx, chan, freq):
+            self._ck(lib.LMS_SetLOFrequency(self._dev, ct.c_bool(dir_tx),
+                                            ct.c_size_t(chan),
+                                            double(freq)),
+                     "SetLOFrequency")
+
+        def get_lo_frequency(self, dir_tx, chan):
+            out = double()
+            self._ck(lib.LMS_GetLOFrequency(self._dev, ct.c_bool(dir_tx),
+                                            ct.c_size_t(chan),
+                                            ct.byref(out)),
+                     "GetLOFrequency")
+            return out.value
+
+        def set_normalized_gain(self, dir_tx, chan, gain):
+            self._ck(lib.LMS_SetNormalizedGain(
+                self._dev, ct.c_bool(dir_tx), ct.c_size_t(chan),
+                double(gain)), "SetNormalizedGain")
+
+        def get_normalized_gain(self, dir_tx, chan):
+            out = double()
+            self._ck(lib.LMS_GetNormalizedGain(
+                self._dev, ct.c_bool(dir_tx), ct.c_size_t(chan),
+                ct.byref(out)), "GetNormalizedGain")
+            return out.value
+
+        def set_antenna(self, dir_tx, chan, path):
+            self._ck(lib.LMS_SetAntenna(self._dev, ct.c_bool(dir_tx),
+                                        ct.c_size_t(chan),
+                                        ct.c_size_t(path)), "SetAntenna")
+
+        def calibrate(self, dir_tx, chan, bw, flags):
+            self._ck(lib.LMS_Calibrate(self._dev, ct.c_bool(dir_tx),
+                                       ct.c_size_t(chan), double(bw),
+                                       ct.c_uint(flags)), "Calibrate")
+
+        def set_gfir_coeff(self, dir_tx, chan, gfir, coeff):
+            arr = np.ascontiguousarray(coeff, np.float64)
+            self._ck(lib.LMS_SetGFIRCoeff(
+                self._dev, ct.c_bool(dir_tx), ct.c_size_t(chan),
+                ct.c_int(gfir),
+                arr.ctypes.data_as(ct.POINTER(double)),
+                ct.c_size_t(arr.size)), "SetGFIRCoeff")
+
+        def enable_gfir(self, dir_tx, chan, gfir, enabled):
+            self._ck(lib.LMS_SetGFIR(self._dev, ct.c_bool(dir_tx),
+                                     ct.c_size_t(chan), ct.c_int(gfir),
+                                     ct.c_bool(enabled)), "SetGFIR")
+
+        def set_lpfbw(self, dir_tx, chan, bw):
+            self._ck(lib.LMS_SetLPFBW(self._dev, ct.c_bool(dir_tx),
+                                      ct.c_size_t(chan), double(bw)),
+                     "SetLPFBW")
+
+        def get_lpfbw(self, dir_tx, chan):
+            out = double()
+            self._ck(lib.LMS_GetLPFBW(self._dev, ct.c_bool(dir_tx),
+                                      ct.c_size_t(chan), ct.byref(out)),
+                     "GetLPFBW")
+            return out.value
+
+        def get_chip_temperature(self, index):
+            out = double()
+            self._ck(lib.LMS_GetChipTemperature(self._dev,
+                                                ct.c_size_t(index),
+                                                ct.byref(out)),
+                     "GetChipTemperature")
+            return out.value
+
+        # ------------------------------------------------------ streaming
+        def setup_stream(self, channel, fifo_size, throughput_vs_latency,
+                         is_tx, data_fmt):
+            st = StreamT(handle=0, isTx=is_tx, channel=channel,
+                         fifoSize=fifo_size,
+                         throughputVsLatency=throughput_vs_latency,
+                         dataFmt=LMS_FMT[data_fmt])
+            self._ck(lib.LMS_SetupStream(self._dev, ct.byref(st)),
+                     "SetupStream")
+            return st
+
+        def start_stream(self, st):
+            self._ck(lib.LMS_StartStream(ct.byref(st)), "StartStream")
+
+        def stop_stream(self, st):
+            lib.LMS_StopStream(ct.byref(st))
+
+        def destroy_stream(self, st):
+            lib.LMS_DestroyStream(self._dev, ct.byref(st))
+
+        def send_stream(self, st, buf, num_samples, timeout_ms):
+            arr = np.ascontiguousarray(buf, np.int16)
+            meta = StreamMetaT(timestamp=0, waitForTimestamp=False,
+                               flushPartialPacket=True)
+            return lib.LMS_SendStream(
+                ct.byref(st), arr.ctypes.data_as(ct.c_void_p),
+                ct.c_size_t(num_samples), ct.byref(meta),
+                ct.c_uint(timeout_ms))
+
+        def get_stream_status(self, st):
+            status = StreamStatusT()
+            lib.LMS_GetStreamStatus(ct.byref(st), ct.byref(status))
+            return {"underrun": status.underrun,
+                    "overrun": status.overrun,
+                    "dropped_packets": status.droppedPackets,
+                    "fifo_filled_count": status.fifoFilledCount,
+                    "fifo_size": status.fifoSize}
 
     return _CtypesLms()
 

@@ -402,7 +402,7 @@ class DpdFeedbackServer:
                 break
             try:
                 self._handle(conn)
-            except (OSError, struct.error) as e:
+            except (OSError, struct.error, NotImplementedError) as e:
                 log.warning("DPD feedback connection error: %s", e)
             finally:
                 conn.close()

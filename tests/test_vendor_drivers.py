@@ -195,50 +195,34 @@ def test_lime_close_teardown_order():
 
 
 # ------------------------------------------------------------------ BladeRF
+class MockBladeRFChannel:
+    """Property-based channel object, like bladerf._bladerf.Channel."""
+
+    def __init__(self):
+        self.sample_rate = 0
+        self.frequency = 0
+        self.gain = 0
+        self.bandwidth = 0
+        self.enable = False
+
+
 class MockBladeRFDev:
     def __init__(self):
         self.calls = []
-        self.sample_rate = {}
-        self.frequency = {}
-        self.gain = {}
-        self.bandwidth = {}
+        self.channels = {}
         self.tamer_mode = None
-        self.enabled = {}
         self.tx = []
+
+    def Channel(self, layout):     # noqa: N802  (mirrors the bladerf API)
+        return self.channels.setdefault(layout, MockBladeRFChannel())
 
     def set_vctcxo_tamer_mode(self, mode):
         self.tamer_mode = mode
 
-    def set_sample_rate(self, ch, rate):
-        self.sample_rate[ch] = rate
-
-    def get_sample_rate(self, ch):
-        return self.sample_rate[ch]
-
-    def set_frequency(self, ch, f):
-        self.frequency[ch] = f
-
-    def get_frequency(self, ch):
-        return self.frequency.get(ch, 0)
-
-    def set_gain(self, ch, g):
-        self.gain[ch] = g
-
-    def get_gain(self, ch):
-        return self.gain[ch]
-
-    def set_bandwidth(self, ch, bw):
-        self.bandwidth[ch] = bw
-
-    def get_bandwidth(self, ch):
-        return self.bandwidth[ch]
-
-    def sync_config(self, layout, fmt, nbuf, bufsize, ntransfers, timeout):
-        self.calls.append(("sync_config", layout, fmt, nbuf, bufsize,
-                           ntransfers, timeout))
-
-    def enable_module(self, ch, en):
-        self.enabled[ch] = en
+    def sync_config(self, layout, fmt, num_buffers, buffer_size,
+                    num_transfers, stream_timeout):
+        self.calls.append(("sync_config", layout, fmt, num_buffers,
+                           buffer_size, num_transfers, stream_timeout))
 
     def sync_tx(self, buf, n):
         self.tx.append(np.array(buf))
@@ -264,7 +248,7 @@ class MockBladeRFModule:
     def CHANNEL_TX(ch):    # noqa: N802  (mirrors the bladerf API)
         return ("tx", ch)
 
-    def BladeRF(self):     # noqa: N802
+    def BladeRF(self, *args):      # noqa: N802
         return self.dev
 
 
@@ -277,12 +261,12 @@ def make_bladerf(**kw):
 
 def test_bladerf_construction():
     dev, brf = make_bladerf(refclk_src="pps")
-    ch = ("tx", 0)
+    ch = brf.channels[("tx", 0)]
     assert brf.tamer_mode == "1pps"     # ref: src/output/BladeRF.cpp:66-74
-    assert brf.sample_rate[ch] == 2_048_000
-    assert brf.gain[ch] == 30
-    assert brf.bandwidth[ch] == 1_750_000
-    assert brf.enabled[ch] is True
+    assert ch.sample_rate == 2_048_000
+    assert ch.gain == 30
+    assert ch.bandwidth == 1_750_000
+    assert ch.enable is True
     # SC16 Q11 sync interface (ref: src/output/BladeRF.cpp:128-141)
     assert ("sync_config", "tx_x1", "sc16_q11", 16, 8192, 8, 3500) \
         in brf.calls
@@ -298,7 +282,7 @@ def test_bladerf_lo_offset_forced_to_zero():
     # ref: src/output/BladeRF.cpp:162-180
     assert dev.lo_offset == 0.0
     assert dev.conf.lo_offset == 0.0
-    assert brf.frequency[("tx", 0)] == 222_064_000
+    assert brf.channels[("tx", 0)].frequency == 222_064_000
 
 
 def test_bladerf_transmit_sc16_q11():
@@ -347,9 +331,15 @@ class MockIioAttr:
         self.writes.append(str(v))
 
 
+class MockIioChannel:
+    def __init__(self):
+        self.enabled = False
+
+
 class MockIioDevice:
-    def __init__(self, attrs):
+    def __init__(self, attrs, n_channels=0):
         self.attrs = attrs
+        self.channels = [MockIioChannel() for _ in range(n_channels)]
 
 
 class MockIioBuffer:
@@ -388,7 +378,7 @@ class MockIioModule:
         }
         self.dsp = MockIioDevice(dsp_attrs)
         self.ad9957 = MockIioDevice({"center_frequency": MockIioAttr()})
-        self.ad9957_tx0 = MockIioDevice({})
+        self.ad9957_tx0 = MockIioDevice({}, n_channels=1)
         self.buffers = []
         mod = self
 
@@ -436,6 +426,8 @@ def test_dexter_construction():
     assert mod.ad9957.attrs["center_frequency"].value == "222000000"
     assert a["frequency0"].value == "64000"
     assert dev.get_tx_freq() == 222_064_000
+    # TX channel enabled before the buffer exists (Dexter.cpp:145-151)
+    assert mod.ad9957_tx0.channels[0].enabled
     # one zero flush buffer pushed, then gain raised (Dexter.cpp:158-174)
     assert len(mod.buffers[0].pushed) == 1
     assert set(mod.buffers[0].pushed[0]) == {0}

@@ -183,3 +183,21 @@ def test_gui_remote_dpd_panel(service):
     assert [h["iteration"] for h in list(panel.history)[:2]] == [0, 1]
     assert all(h["state"] == "Idle" for h in panel.history)
     assert len(adapt.pushed) >= 2
+
+
+def test_service_dump_pruning(tmp_path):
+    adapt = FakeAdapt()
+    srv = DpdceServer(0, measure=FakeMeasure(), adapt=adapt,
+                      dump_dir=str(tmp_path))
+    srv.DUMPS_KEPT = 3
+    cli = yamlrpc.Socket(bind_port=0, timeout=2.0)
+    try:
+        for i in range(5):
+            cli.call_rpc_method(srv.port, "trigger_run", {})
+            _wait(cli, srv.port, lambda r, i=i: r.get("iteration") == i)
+        import os
+        dumps = [f for f in os.listdir(tmp_path) if f.startswith("dpdce_")]
+        assert len(dumps) == 3
+    finally:
+        cli.close()
+        srv.stop()
