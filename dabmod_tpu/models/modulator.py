@@ -60,10 +60,10 @@ class Modulator:
         self._fic_prbs = np.asarray(
             tables.prbs_bits(p.fic_size_in).astype(np.int32))
         self._fic_nbits = p.fic_size_in * 8
-        fic_idx, fic_out_bytes = tables.puncture_gather(
+        self._fic_punct = tables.puncture_plan(
             tables.fic_rules(layout.mid), p.fic_size_in * 4 + 3)
+        fic_out_bytes = self._fic_punct[2]
         assert fic_out_bytes == p.fic_size_out, (fic_out_bytes, p.fic_size_out)
-        self._fic_punct = np.asarray(fic_idx)
 
         self._subch_prbs = []
         self._subch_nbits = []
@@ -75,9 +75,10 @@ class Modulator:
             self._subch_prbs.append(np.asarray(
                 tables.prbs_bits(n).astype(np.int32)))
             self._subch_nbits.append(n * 8)
-            pidx, pbytes = tables.puncture_gather(
+            plan = tables.puncture_plan(
                 sub.rules(), n * 4 + 3, out_bytes_expected=sub.framesize_cu * 8)
-            self._subch_punct.append(np.asarray(pidx))
+            pbytes = plan[2]
+            self._subch_punct.append(plan)
             self._subch_masks.append(np.asarray(
                 tables.time_interleave_masks(pbytes * 8)))
             self._subch_offsets.append(sub.start_address * 64)

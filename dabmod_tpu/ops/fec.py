@@ -74,32 +74,68 @@ def puncture(bits: jnp.ndarray, keep_idx: jnp.ndarray) -> jnp.ndarray:
     return padded[..., keep_idx]
 
 
+def puncture_regions(bits: jnp.ndarray, plan) -> jnp.ndarray:
+    """Gather-free puncturing from a tables.puncture_plan.
+
+    Within each rule region the same 32-bit (24 for the tail) pattern
+    repeats word-for-word, so compaction is a reshape to [n_words, width]
+    plus static column slices -- pure slice/concat vector code, where the
+    index-gather form hits the TPU's slow scalar gather path.
+    """
+    regions, pad_bits, _out_bytes = plan
+    lead = bits.shape[:-1]
+    parts = []
+    for start, n_words, width, cols in regions:
+        seg = bits[..., start:start + n_words * width]
+        seg = seg.reshape(*lead, n_words, width)
+        kept = jnp.concatenate([seg[..., c:c + 1] for c in cols], axis=-1)
+        parts.append(kept.reshape(*lead, n_words * len(cols)))
+    if pad_bits:
+        parts.append(jnp.zeros((*lead, pad_bits), bits.dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def fec_path(bits: jnp.ndarray, prbs: jnp.ndarray, n_bits: int,
-             punct_idx: jnp.ndarray) -> jnp.ndarray:
-    """scramble -> convolutional encode -> puncture, fully fused."""
-    return puncture(conv_encode(scramble(bits, prbs), n_bits), punct_idx)
+             punct) -> jnp.ndarray:
+    """scramble -> convolutional encode -> puncture, fully fused.
+
+    `punct` is either a tables.puncture_plan tuple (gather-free fast path)
+    or a precompiled keep-index array (tables.puncture_gather)."""
+    conv = conv_encode(scramble(bits, prbs), n_bits)
+    if isinstance(punct, tuple):
+        return puncture_regions(conv, punct)
+    return puncture(conv, punct)
+
+
+# The DAB interleaving rule delays bit b by DELAYS[b mod 16] CIFs -- the
+# bit-reversed 0..15 sequence (ref: src/TimeInterleaver.cpp:66-92,
+# EN 300 401 Table 21).
+TI_DELAYS = (0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
 
 
 def time_interleave(bits: jnp.ndarray, history: jnp.ndarray,
-                    delay_masks: jnp.ndarray
+                    delay_masks: jnp.ndarray | None = None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """DAB time interleaver over a batch of consecutive CIFs.
 
     bits:        [T, n] current frames in time order
     history:     [15, n] the 15 previous frames (history[-1] = most recent)
-    delay_masks: [16, n] static one-hot masks: delay_masks[d, b] == 1 iff
-                 bit b is delayed by d CIFs (tables.time_interleave_masks)
+    delay_masks: unused (kept for call-site compatibility); the delay of
+                 bit b is the static TI_DELAYS[b mod 16] rule
 
     Returns (out [T, n], new_history [15, n]).  The interleaver is a pure
-    per-bit delay line (ref: src/TimeInterleaver.cpp:66-92); with the delay
-    selection expressed as 16 masked static shifts the whole batch is
-    branch-free vector code with no gathers.
+    per-bit delay line (ref: src/TimeInterleaver.cpp:66-92).  Because the
+    delay depends only on b mod 16, reshaping the bit axis to [n/16, 16]
+    makes each of the 16 lanes a *static slice* along the CIF axis -- one
+    HBM pass over the data, versus 16 passes for the masked-shift
+    formulation (the frontend's former bandwidth hotspot).
     """
-    T = bits.shape[0]
+    T, n = bits.shape
     full = jnp.concatenate([history, bits], axis=0)           # [15+T, n]
-    out = bits * delay_masks[0]
-    for d in range(1, 16):
-        out = out + full[15 - d:15 - d + T] * delay_masks[d]
+    fr = full.reshape(15 + T, n // 16, 16)
+    lanes = [fr[15 - d:15 - d + T, :, j]
+             for j, d in enumerate(TI_DELAYS)]
+    out = jnp.stack(lanes, axis=-1).reshape(T, n)
     return out, full[-15:]
 
 

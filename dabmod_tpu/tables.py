@@ -210,6 +210,53 @@ def puncture_gather(rules, in_bytes: int, out_bytes_expected: int | None = None)
     return np.concatenate([kept, sentinel]), out_bytes
 
 
+def puncture_plan(rules, in_bytes: int,
+                  out_bytes_expected: int | None = None):
+    """Region-structured puncturing plan: (regions, pad_bits, out_bytes).
+
+    Each region is (bit_start, n_words, width, cols): within the region the
+    same `width`-bit pattern applies to every word, keeping the columns in
+    `cols`.  Compaction then needs no gather at all -- per region it is a
+    reshape to [n_words, width] plus static column slices (ops.fec.
+    puncture_regions), where the gather formulation (puncture_gather) is a
+    TPU scalar-path bottleneck.  Consecutive same-pattern rule applications
+    are merged.  Semantics identical to puncture_gather.
+    """
+    body_bits = (in_bytes - TAIL_RULE[0]) * 8
+    regions = []            # [bit_start, n_words, width, cols]
+    kept_total = 0
+    pos = 0
+    ri = 0
+    while pos < body_bits:
+        length, pattern = rules[ri % len(rules)]
+        cols = tuple(np.nonzero(_pattern_bits(pattern, 32))[0].tolist())
+        n_words = length // 4
+        if pos + n_words * 32 > body_bits:
+            raise ValueError("puncturing rules do not tile the frame")
+        if regions and regions[-1][3] == cols \
+                and regions[-1][0] + regions[-1][1] * 32 == pos:
+            regions[-1][1] += n_words
+        else:
+            regions.append([pos, n_words, 32, cols])
+        kept_total += n_words * len(cols)
+        pos += n_words * 32
+        ri += 1
+    tail_cols = tuple(np.nonzero(_pattern_bits(TAIL_RULE[1], 24))[0].tolist())
+    regions.append([body_bits, 1, 24, tail_cols])
+    kept_total += len(tail_cols)
+
+    out_bytes = (kept_total + 7) // 8
+    if out_bytes_expected is not None:
+        if out_bytes_expected == out_bytes + 1:
+            out_bytes = out_bytes_expected    # UEP padding byte
+        if out_bytes_expected != out_bytes:
+            raise ValueError(
+                f"puncturing mismatch: expected {out_bytes_expected} bytes, "
+                f"got {out_bytes}")
+    pad_bits = out_bytes * 8 - kept_total
+    return tuple(tuple(r[:3]) + (r[3],) for r in regions), pad_bits, out_bytes
+
+
 # ---------------------------------------------------------------------------
 # FIC and sub-channel protection profiles
 # (ref: src/FicSource.cpp:38-61, src/SubchannelSource.cpp)

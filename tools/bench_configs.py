@@ -55,27 +55,40 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
     s = m.settings
     cg = jnp.float32(s.normalise * s.digital_gain)
     vk = jnp.float32(s.gain_mode_variance)
-    step = jax.jit(m._modulate_impl, donate_argnums=(2,))
+
+    # block_until_ready() does NOT wait for execution on the axon tunnel
+    # (it acks the dispatch), so every step also returns a tiny scalar
+    # probe; a single host readback at the end of a run forces the whole
+    # state-donation-serialized chain, and timing two run lengths cancels
+    # the fixed tunnel round-trip (same methodology as bench.py).
+    def impl(fic, subs, state, cg, vk):
+        iq, st, stats = m._modulate_impl(fic, subs, state, cg, vk)
+        return iq, jnp.sum(iq[:, 0, 0]), st
+
+    step = jax.jit(impl, donate_argnums=(2,))
 
     state = m.init_state()
-    iq, state, _ = step(staged[0][0], staged[0][1], state, cg, vk)
-    iq.block_until_ready()
+    iq, probe, state = step(staged[0][0], staged[0][1], state, cg, vk)
+    float(probe)
 
-    t0 = time.perf_counter()
-    for _ in range(4):
-        iq, state, _ = step(staged[1][0], staged[1][1], state, cg, vk)
-    iq.block_until_ready()
-    per_step = (time.perf_counter() - t0) / 4
-    iters = max(8, min(2000, int(seconds / max(per_step, 1e-4))))
+    def timed_run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(n):
+            fic, subs = staged[i % n_stage]
+            iq, probe, state = step(fic, subs, state, cg, vk)
+        float(probe)
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        fic, subs = staged[i % n_stage]
-        iq, state, _ = step(fic, subs, state, cg, vk)
-    iq.block_until_ready()
-    dt = time.perf_counter() - t0
+    t_short = timed_run(8)
+    per_step = max(t_short / 8, 1e-4)
+    n1 = max(8, min(500, int(seconds / 4 / per_step)))
+    n2 = max(n1 * 4, n1 + 32)
+    t1 = timed_run(n1)
+    t2 = timed_run(n2)
+    dt = t2 - t1
 
-    tf_per_s = iters * batch_tf / dt
+    tf_per_s = (n2 - n1) * batch_tf / dt
     out_rate = s.output_rate
     out_samples_per_s = tf_per_s * m.tf_samples_out
     # real-time multiple: how many live transmitters this chip could feed
