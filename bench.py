@@ -89,9 +89,17 @@ def main():
     per_step = max(t_short / 8, 1e-4)
     n1 = max(8, min(1000, int(1.0 / per_step)))
     n2 = max(n1 * 4, n1 + 32)
-    t1 = timed_run(n1)
-    t2 = timed_run(n2)
-    slope = (t2 - t1) / (n2 - n1)       # marginal per-step device time
+    # median of three slope estimates: the tunnel adds multi-hundred-ms
+    # jitter that can make a single (t2-t1) difference go negative
+    slopes = []
+    for _ in range(3):
+        t1 = timed_run(n1)
+        t2 = timed_run(n2)
+        slopes.append((t2 - t1) / (n2 - n1))
+    slopes.sort()
+    slope = slopes[1]
+    if slope <= 0:      # pathological jitter: fall back to the long run
+        slope = t2 / n2
 
     tf_per_s = batch_tf / slope
     samples_per_s = tf_per_s * p.tf_samples
