@@ -117,7 +117,7 @@ def main():
     float(probe)
 
     logdir = tempfile.mkdtemp(prefix="dabmod_prof_")
-    n_iter = 20
+    n_iter = 100   # amortise the fixed tunnel round-trip of the final fetch
     with jax.profiler.trace(logdir):
         t0 = time.perf_counter()
         for _ in range(n_iter):
