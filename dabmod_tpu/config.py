@@ -19,6 +19,10 @@ class ModSettings:
     input_name: str = ""
     input_transport: str = "file"        # file | tcp | zmq | edi
     loop: bool = False
+    # TCP input timing (the reference hardcodes 8 s receive timeout and a
+    # 1 s reconnect backoff, src/InputTcpReader.cpp:73-80)
+    tcp_timeout: float = 8.0
+    tcp_reconnect_delay: float = 1.0
     # output
     output: str = ""                     # file | zmq | ...
     output_name: str = ""
@@ -77,6 +81,10 @@ class ModSettings:
     # timestamps / SFN
     tist_enabled: bool = False
     tist_offset: float = 0.0
+    # old-syntax offset management (ref warns at src/ConfigParser.cpp:
+    # 456-459; kept functional here): "", "fixed" or "dynamic"
+    tist_delay_management: str = ""
+    tist_dynamic_offset_file: str = ""   # re-read at runtime when it changes
     # remote control
     rc_telnet_port: int = 0              # 0 disables
     rc_zmq_endpoint: str = ""            # "" disables
@@ -236,8 +244,47 @@ def parse_ini(path: str) -> ModSettings:
             s.sdr_tx_antenna = get(sec, "tx_antenna", "")
             break
 
+    # delaymanagement (ref: src/ConfigParser.cpp:449-476): synchronous +
+    # mutenotimestamps always parsed; with synchronous enabled an offset is
+    # mandatory.  The pre-v1 syntax (management=fixed|dynamic with
+    # fixedoffset / dynamicoffsetfile) draws the reference's "old config
+    # syntax" warning but is kept *functional* here: fixed maps onto the
+    # offset, dynamic points at a file the runtime re-reads on change.
     s.tist_enabled = getbool("delaymanagement", "synchronous", False)
-    s.tist_offset = getfloat("delaymanagement", "offset", 0.0)
+    if cp.has_option("delaymanagement", "mutenotimestamps"):
+        s.sdr_mute_no_timestamps = getbool(
+            "delaymanagement", "mutenotimestamps", False)
+    mgmt = (get("delaymanagement", "management", "") or "").lower()
+    fixedoffset = get("delaymanagement", "fixedoffset", "") or ""
+    dynfile = get("delaymanagement", "dynamicoffsetfile", "") or ""
+    if s.tist_enabled:
+        if mgmt or fixedoffset or dynfile:
+            import warnings
+            warnings.warn(
+                "you are using the old config syntax for the offset "
+                "management; please see example.ini for the new settings")
+        if mgmt not in ("", "fixed", "dynamic"):
+            raise ValueError(
+                f"delaymanagement: invalid management mode {mgmt}")
+        s.tist_delay_management = mgmt
+        if mgmt == "fixed":
+            if not fixedoffset:
+                raise ValueError("delaymanagement: management=fixed "
+                                 "needs fixedoffset")
+            s.tist_offset = float(fixedoffset)
+        elif mgmt == "dynamic":
+            if not dynfile:
+                raise ValueError("delaymanagement: management=dynamic "
+                                 "needs dynamicoffsetfile")
+            s.tist_dynamic_offset_file = dynfile
+        elif cp.has_option("delaymanagement", "offset"):
+            s.tist_offset = getfloat("delaymanagement", "offset", 0.0)
+        else:
+            # ref: src/ConfigParser.cpp:462-467
+            raise ValueError("delaymanagement: synchronous is enabled, "
+                             "but no offset defined")
+    else:
+        s.tist_offset = getfloat("delaymanagement", "offset", 0.0)
 
     s.show_process_time = getbool("log", "show_process_time", True)
     s.batch_tf = getint("modulator", "batch_tf", 8)

@@ -647,7 +647,12 @@ class EdiTcpTransport:
 
 
 class EdiInput:
-    """read_batch-compatible EDI source for the runtime."""
+    """read_batch-compatible EDI source for the runtime.
+
+    `never_eof`: like the reference's EDI receive loop (src/DabMod.cpp:
+    648-671), packet timeouts are idle ticks, not end-of-stream."""
+
+    never_eof = True
 
     def __init__(self, uri: str):
         self.decoder = EdiEtiDecoder()

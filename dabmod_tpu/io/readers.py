@@ -16,12 +16,16 @@ with bounded memory and no re-parsing.
 from __future__ import annotations
 
 import io
+import logging
 import socket
 import sys
+import time
 
 import numpy as np
 
 from ..eti import ETI_NI_FRAME
+
+log = logging.getLogger("dabmod_tpu")
 
 SYNCS = (0x49C5F8FF, 0xB63A07FF)
 _CHUNK = 256 * ETI_NI_FRAME
@@ -55,6 +59,12 @@ class EtiFileReader:
             seekable = self.f.seekable()
         except (AttributeError, io.UnsupportedOperation):
             seekable = False
+        if loop and not seekable:
+            # the reference rewinds with fseek and loop simply fails on
+            # pipes (src/InputFileReader.cpp:219-236); be explicit instead
+            # of silently degrading to a single pass
+            log.warning("input loop requested but %r is not seekable; "
+                        "the stream will play once", path)
         self.loop = loop and seekable
         self._buf = bytearray()
         self._eof = False
@@ -182,29 +192,89 @@ class EtiFileReader:
 
 
 class EtiTcpReader:
-    """ETI over TCP (ref: src/InputTcpReader.cpp): a stream of raw 6144-byte
-    frames; empty batches signal timeouts like the reference's empty frame."""
+    """ETI over TCP (ref: src/InputTcpReader.cpp:44-93): a stream of raw
+    6144-byte frames that survives multiplexer restarts.
 
-    def __init__(self, uri: str, timeout: float = 2.0):
+    Mirrors the reference's auto-reconnecting TCPClient semantics
+    (lib/Socket.cpp:954-999): a peer close triggers a reconnect with a 1 s
+    backoff (src/InputTcpReader.cpp:77-80), a receive timeout yields an
+    empty batch which the caller must treat as "keep waiting" rather than
+    EOF (src/DabMod.cpp:613-627), and a half-closed connection -- no bytes
+    for 5x the timeout -- forces a reconnect (lib/Socket.cpp:978-985).
+    `never_eof` advertises the stream-liveness contract to the runtime.
+    """
+
+    never_eof = True
+
+    def __init__(self, uri: str, timeout: float = 8.0,
+                 reconnect_delay: float = 1.0):
         if uri.startswith("tcp://"):
             uri = uri[len("tcp://"):]
         host, port = uri.rsplit(":", 1)
-        self.sock = socket.create_connection((host, int(port)))
-        self.sock.settimeout(timeout)
+        self.host, self.port = host, int(port)
+        self.timeout = timeout
+        self.reconnect_delay = reconnect_delay
+        self.sock: socket.socket | None = None
         self._buf = b""
+        self._last_rx: float | None = None
+        self._closed = False
+        self.reconnects = 0
+        self._connect()
+
+    def _connect(self) -> None:
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+            self.sock = None
+        # a reconnected peer restarts at a frame boundary; drop any partial
+        # tail so framing stays aligned (the reference's per-frame
+        # MSG_WAITALL read discards partials the same way)
+        self._buf = self._buf[:len(self._buf) // ETI_NI_FRAME
+                              * ETI_NI_FRAME]
+        try:
+            self.sock = socket.create_connection(
+                (self.host, self.port), timeout=self.timeout)
+            self.sock.settimeout(self.timeout)
+            self._last_rx = None
+        except OSError as e:
+            log.debug("TCP input connect to %s:%d failed: %s",
+                      self.host, self.port, e)
+            self.sock = None
+
+    def _reconnect(self, why: str) -> None:
+        log.info("TCP input auto reconnect (%s)", why)
+        self.reconnects += 1
+        time.sleep(self.reconnect_delay)
+        if not self._closed:
+            self._connect()
 
     def read_batch(self, n: int) -> np.ndarray:
+        """Up to n frames; an empty batch means a timeout or a reconnect in
+        progress, never end-of-stream."""
+        if n > 0 and self.sock is None and not self._closed:
+            self._reconnect("not connected")
         want = n * ETI_NI_FRAME
         try:
-            while len(self._buf) < want:
+            while len(self._buf) < want and self.sock is not None:
                 chunk = self.sock.recv(65536)
                 if not chunk:
+                    self._reconnect("peer closed")
                     break
                 self._buf += chunk
+                self._last_rx = time.monotonic()
         except socket.timeout:
-            pass
-        T = len(self._buf) // ETI_NI_FRAME
-        T = min(T, n)
+            if (self._last_rx is not None
+                    and time.monotonic() - self._last_rx
+                    > 5 * self.timeout):
+                # half-closed connection detection (lib/Socket.cpp:978-985)
+                self._reconnect("stream gap")
+            else:
+                log.debug("TCP input timeout")
+        except OSError as e:
+            self._reconnect(f"socket error: {e}")
+        T = min(len(self._buf) // ETI_NI_FRAME, n)
         if T == 0:
             return np.empty((0, ETI_NI_FRAME), np.uint8)
         out = np.frombuffer(self._buf[:T * ETI_NI_FRAME],
@@ -213,7 +283,10 @@ class EtiTcpReader:
         return out
 
     def close(self):
-        self.sock.close()
+        self._closed = True
+        if self.sock is not None:
+            self.sock.close()
+            self.sock = None
 
 
 def open_input(settings):
@@ -222,5 +295,7 @@ def open_input(settings):
         from .edi import EdiInput
         return EdiInput(name)
     if settings.input_transport == "tcp" or name.startswith("tcp://"):
-        return EtiTcpReader(name)
+        return EtiTcpReader(
+            name, timeout=getattr(settings, "tcp_timeout", 8.0),
+            reconnect_delay=getattr(settings, "tcp_reconnect_delay", 1.0))
     return EtiFileReader(name, loop=settings.loop)

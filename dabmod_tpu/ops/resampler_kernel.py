@@ -1,0 +1,142 @@
+"""Fused polyphase-resampler + pair-interleave Pallas TPU kernel.
+
+The XLA polyphase path (ops.filters.resample_poly) reframes the flat sample
+stream into [nb, block] rows with a 2*half halo and multiplies by the banded
+interpolation operator.  Profiling the 8.192 MS/s config showed its cost is
+dominated not by MXU work but by layout: with block=32 the framing reshape
+produces [*, 32] arrays whose (8,128) tiles are 3/4 padding (~0.39 ms per
+16-TF batch), the K=32 matmuls pad to K=128 on the systolic array, and the
+final re/im->pairs interleave re-reads and re-writes the full 4x-rate
+stream (~0.24 ms, exactly the HBM round-trip floor).
+
+This kernel removes all three costs structurally:
+
+* **block = 128** -- framing the stream into [nb, 128] rows is a pure
+  bitcast of the flat plane, and the banded operator splits into two
+  full-depth K=128 matmuls (base rows x A, next rows x B where only B's
+  first 2*half rows are non-zero):
+
+      y[i] = x2d[i] @ A + x2d[i+1] @ B          A,B: [128, out_block]
+
+* **fused interleave** -- both planes' output tiles are produced in VMEM
+  and written once as the interleaved pair stream [nb, 2*out_block]
+  (bitcast to [N_out, 2]); the planes never round-trip through HBM.
+
+* **HIGH-precision emulation** -- Mosaic lowers only DEFAULT/HIGHEST dot
+  precision, so the pipeline's 3-pass bf16 scheme (jax.lax.Precision.HIGH)
+  is emulated by hi/lo bfloat16 splitting, as in ops.ofdm_kernel._cmm.
+
+Same role as the reference's frequency-domain fractional resampler
+(src/Resampler.cpp:51-195); the TPU-first windowed-sinc formulation and its
+equivalence argument live in ops.filters.PolyphasePlan.  Output is
+stream-identical to ops.filters.resample_poly (same plan): identical
+operator band, identical half-sample delay, f32-rounding-level differences
+only.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+
+
+def _dot_high(x, w):
+    """[M,128] @ [128,N] with 3-pass bf16 (Precision.HIGH) emulation."""
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = partial(jax.lax.dot, preferred_element_type=jnp.float32)
+    return d(x_hi, w_hi) + (d(x_lo, w_hi) + d(x_hi, w_lo))
+
+
+def _pick_rows(nb: int, target: int = 256) -> int:
+    """Rows of the [nb, 128] stream per grid step: largest divisor of nb
+    <= target (keeps base+halo+output blocks a few MB of VMEM)."""
+    best = 1
+    for r in range(1, min(nb, target) + 1):
+        if nb % r == 0:
+            best = r
+    return best
+
+
+def supports(plan) -> bool:
+    """True when `plan` fits the kernel's fixed-128 framing."""
+    return plan.block == LANES and 2 * plan.half <= LANES
+
+
+def build_resampler_backend(plan, precision=None, interpret: bool = False):
+    """Build the fused backend for a PolyphasePlan with block == 128.
+
+    Returns apply(planes, carry) -> (pairs, new_carry) where planes is a
+    (re, im) tuple of flat [N] float32 streams (N a multiple of 128), carry
+    a (re, im) tuple of [2*half] input-history planes, and pairs the
+    interleaved resampled stream [N * L/M, 2] float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGH
+    assert supports(plan), (plan.block, plan.half)
+    h2 = 2 * plan.half
+    ob = plan.out_block
+    T = plan.matrix                       # [128 + 2h, out_block]
+    a_np = np.ascontiguousarray(T[:LANES])
+    b_np = np.zeros((LANES, ob), np.float32)
+    b_np[:h2] = T[LANES:LANES + h2]
+
+    if precision == jax.lax.Precision.HIGH:
+        dot = _dot_high
+    else:
+        dot = partial(jax.lax.dot, precision=precision,
+                      preferred_element_type=jnp.float32)
+
+    def kernel(base_r_ref, halo_r_ref, base_i_ref, halo_i_ref,
+               a_ref, b_ref, out_ref):
+        a, b = a_ref[:], b_ref[:]
+        yr = dot(base_r_ref[:], a) + dot(halo_r_ref[:], b)   # [R, ob]
+        yi = dot(base_i_ref[:], a) + dot(halo_i_ref[:], b)
+        # interleave in VMEM; the single HBM write is the pair stream
+        out_ref[:] = jnp.stack([yr, yi], axis=-1).reshape(yr.shape[0], -1)
+
+    def apply(planes, carry):
+        re, im = planes
+        n = re.shape[0]
+        assert n % LANES == 0, n
+        nb = n // LANES
+        rows = _pick_rows(nb)
+
+        def frame(p, c):
+            xp = jnp.concatenate([c, p])              # [N + 2h]
+            base = xp[:n].reshape(nb, LANES)          # bitcast
+            # halo rows: the 128 samples following each base row (only the
+            # first 2h columns meet non-zero operator rows; the zero pad
+            # beyond the stream tail is never touched by B)
+            halo = jnp.pad(xp[LANES:], (0, LANES - h2)).reshape(nb, LANES)
+            return base, halo, xp[-h2:]
+
+        base_r, halo_r, carry_r = frame(re, carry[0])
+        base_i, halo_i, carry_i = frame(im, carry[1])
+
+        data_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        op_spec = pl.BlockSpec((LANES, ob), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nb // rows,),
+            in_specs=[data_spec, data_spec, data_spec, data_spec,
+                      op_spec, op_spec],
+            out_specs=pl.BlockSpec((rows, 2 * ob), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, 2 * ob), jnp.float32),
+            interpret=interpret,
+        )(base_r, halo_r, base_i, halo_i, np.asarray(a_np), np.asarray(b_np))
+        return out.reshape(-1, 2), (carry_r, carry_i)
+
+    return apply

@@ -59,6 +59,12 @@ class ModRuntime:
         self.reader = open_input(settings)
         self.output = open_output(settings)
         self.ts_decoder = TimestampDecoder(settings.tist_offset)
+        self._stop = threading.Event()
+        # delaymanagement management=dynamic: the offset lives in a file
+        # that operators rewrite at runtime; re-read on mtime change
+        # (the reference's old-syntax offset management, warned about at
+        # src/ConfigParser.cpp:456-459, which this build keeps functional)
+        self._dyn_offset_mtime: float | None = None
         self.modulator: Modulator | None = None
         self.state = None
         self.num_restarts = 0
@@ -72,6 +78,7 @@ class ModRuntime:
         self.last_stats = {}
         self._next_fault_poll = RC_FAULT_POLL_FRAMES
         self._frames_since_clip_poll = RC_FAULT_POLL_FRAMES
+        self._frames_since_stats_poll = RC_FAULT_POLL_FRAMES
         # output pipeline: depth 2 = classic double buffering (batch N-1
         # being written while N computes and N+1 parses)
         self._out_queue: queue_mod.Queue = queue_mod.Queue(maxsize=2)
@@ -298,7 +305,17 @@ class ModRuntime:
                 continue                             # drain after a fault
             try:
                 if stats:
-                    self._note_stats(stats, n_cells)
+                    # CFR/MER statistics are small device scalars whose
+                    # fetch is a full tunnel round trip each; sample them
+                    # at the RC poll cadence (like num_clipped below)
+                    # instead of every batch.  last_stats keeps the device
+                    # arrays so an RC query can still fetch on demand.
+                    self.last_stats = stats
+                    self._frames_since_stats_poll += T
+                    if (self._frames_since_stats_poll
+                            >= RC_FAULT_POLL_FRAMES):
+                        self._frames_since_stats_poll = 0
+                        self._note_stats(stats, n_cells)
                 arr = np.asarray(iq)                 # blocking D2H copy
                 try:
                     self.output.write(arr, meta)
@@ -401,6 +418,36 @@ class ModRuntime:
             self.state = self.modulator.init_state()
             self._rebuild = False
 
+    def stop(self):
+        """Ask the run loop to end after the current batch (live-stream
+        inputs never reach EOF, so an external stop is the only clean way
+        to end them -- the reference's SIGINT handler plays this role,
+        src/DabMod.cpp:87-97)."""
+        self._stop.set()
+
+    def _poll_dynamic_offset(self):
+        """Re-read the delaymanagement dynamic offset file when it changes
+        (management=dynamic), without a restart."""
+        path = self.settings.tist_dynamic_offset_file
+        if not path:
+            return
+        try:
+            mtime = __import__("os").stat(path).st_mtime
+        except OSError:
+            return
+        if mtime == self._dyn_offset_mtime:
+            return
+        self._dyn_offset_mtime = mtime
+        try:
+            with open(path) as f:
+                offset = float(f.read().split()[0])
+        except (OSError, ValueError, IndexError) as e:
+            log.warning("dynamic offset file %s unreadable: %s", path, e)
+            return
+        if offset != self.ts_decoder.offset_s:
+            log.info("delaymanagement: dynamic offset now %f s", offset)
+            self.ts_decoder.offset_s = offset
+
     def _drop_until_fp0(self):
         """Do not start the pipeline before frame phase 0, so all blocks are
         properly aligned (ref: src/DabMod.cpp:683-692).  Operates on raw
@@ -441,8 +488,16 @@ class ModRuntime:
 
     def _run_batches_inner(self, max_batches: int | None = None) -> RunResult:
         s = self.settings
+        # a live stream source (TCP/EDI) signals timeouts with empty
+        # batches; only file-like readers can reach end-of-stream
+        # (ref: src/DabMod.cpp:613-627 ignores empty TCP frames and only
+        # ends on InputFileReader EOF)
+        stream = getattr(self.reader, "never_eof", False)
         batches_done = 0
         while max_batches is None or batches_done < max_batches:
+            if self._stop.is_set():
+                return RunResult.NORMAL_END
+            self._poll_dynamic_offset()
             # peek at layout with one frame if we have none pending
             need_probe = self._pending.shape[0] == 0
             probe = self.reader.read_batch(4 if need_probe else 0)
@@ -450,7 +505,7 @@ class ModRuntime:
                 self._pending = np.concatenate([self._pending, probe])
             self._drop_until_fp0()
             if self._pending.shape[0] == 0:
-                if probe.size == 0:
+                if probe.size == 0 and not stream:
                     return RunResult.NORMAL_END
                 continue
             try:
@@ -471,6 +526,8 @@ class ModRuntime:
 
             T = (self._pending.shape[0] // C) * C
             if T == 0:
+                if stream:
+                    continue        # timeout: keep the transmitter alive
                 return RunResult.NORMAL_END
             raw, self._pending = self._pending[:T], self._pending[T:]
 

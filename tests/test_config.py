@@ -166,3 +166,76 @@ filename=%s
 """ % (tmp_path / "mod.log"))
     s = parse_ini(str(p))
     assert s.log_syslog and s.log_file.endswith("mod.log")
+
+
+# ---------------------------------------------------------------------------
+# delaymanagement parity (ref: src/ConfigParser.cpp:449-476)
+# ---------------------------------------------------------------------------
+
+def _delay_ini(tmp_path, body):
+    p = tmp_path / "delay.ini"
+    p.write_text("""
+[input]
+transport=file
+source=test.eti
+
+[modulator]
+gainmode=var
+
+[fileoutput]
+filename=out.iq
+format=complexf
+
+[delaymanagement]
+%s
+""" % body)
+    return str(p)
+
+
+def test_delaymanagement_synchronous_offset(tmp_path):
+    s = parse_ini(_delay_ini(tmp_path, "synchronous=1\noffset=2.5"))
+    assert s.tist_enabled and s.tist_offset == 2.5
+
+
+def test_delaymanagement_synchronous_requires_offset(tmp_path):
+    # ref: src/ConfigParser.cpp:462-467 throws without an offset
+    with pytest.raises(ValueError, match="no offset defined"):
+        parse_ini(_delay_ini(tmp_path, "synchronous=1"))
+
+
+def test_delaymanagement_mutenotimestamps(tmp_path):
+    s = parse_ini(_delay_ini(tmp_path, "mutenotimestamps=1"))
+    assert s.sdr_mute_no_timestamps
+    s = parse_ini(_delay_ini(tmp_path, "mutenotimestamps=0"))
+    assert not s.sdr_mute_no_timestamps
+
+
+def test_delaymanagement_old_syntax_fixed(tmp_path):
+    # the reference warns about the old syntax; this build warns AND
+    # honours it
+    with pytest.warns(UserWarning, match="old config syntax"):
+        s = parse_ini(_delay_ini(
+            tmp_path, "synchronous=1\nmanagement=fixed\nfixedoffset=1.25"))
+    assert s.tist_delay_management == "fixed"
+    assert s.tist_offset == 1.25
+
+
+def test_delaymanagement_old_syntax_dynamic(tmp_path):
+    off = tmp_path / "offset.txt"
+    off.write_text("0.5\n")
+    with pytest.warns(UserWarning, match="old config syntax"):
+        s = parse_ini(_delay_ini(
+            tmp_path,
+            "synchronous=1\nmanagement=dynamic\ndynamicoffsetfile=%s" % off))
+    assert s.tist_delay_management == "dynamic"
+    assert s.tist_dynamic_offset_file == str(off)
+
+
+def test_delaymanagement_invalid_management(tmp_path):
+    with pytest.raises(ValueError, match="invalid management"):
+        parse_ini(_delay_ini(tmp_path, "synchronous=1\nmanagement=bogus"))
+
+
+def test_delaymanagement_fixed_needs_fixedoffset(tmp_path):
+    with pytest.raises(ValueError, match="needs fixedoffset"):
+        parse_ini(_delay_ini(tmp_path, "synchronous=1\nmanagement=fixed"))

@@ -300,3 +300,77 @@ def test_edi_udp_end_to_end(tmp_path):
     rt2.run()
     ref = np.fromfile(tmp_path / "ref.iq", np.float32)
     np.testing.assert_array_equal(data, ref[:data.size])
+
+
+def test_dynamic_offset_file_reread(tmp_path):
+    """delaymanagement management=dynamic: a change to the offset file
+    takes effect mid-run, without a restart."""
+    import os
+    import time
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.runtime import ModRuntime
+
+    frames = synth_eti_batch(16, mode=1)
+    inp = _write_raw(tmp_path, frames)
+    off = tmp_path / "offset.txt"
+    off.write_text("0.5\n")
+    s = ModSettings(input_name=inp, output="file",
+                    output_name=str(tmp_path / "dyn.iq"),
+                    file_output_format="s16", batch_tf=2,
+                    tist_enabled=True, tist_delay_management="dynamic",
+                    tist_dynamic_offset_file=str(off))
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+    rt.run_batches(max_batches=1)
+    assert rt.ts_decoder.offset_s == 0.5
+    off.write_text("0.8\n")
+    # force a visible mtime change even on coarse filesystem clocks
+    st = os.stat(off)
+    os.utime(off, (st.st_atime, st.st_mtime + 2))
+    rt.run_batches(max_batches=1)
+    assert rt.ts_decoder.offset_s == 0.8
+    rt.close()
+
+
+def test_file_reader_loop_warns_on_pipe(caplog):
+    """loop=1 on a non-seekable input degrades to a single pass; the
+    operator must be told (ref fseek failure, InputFileReader.cpp:219-236)."""
+    import io as io_mod
+    import logging
+    frames = synth_eti_batch(2, mode=1)
+
+    class Unseekable(io_mod.BytesIO):
+        def seekable(self):
+            return False
+
+    with caplog.at_level(logging.WARNING, logger="dabmod_tpu"):
+        r = EtiFileReader("pipe", loop=True,
+                          fileobj=Unseekable(frames.tobytes()))
+        assert not r.loop
+    assert any("not seekable" in m for m in caplog.messages)
+    assert len(r.frames()) == 2     # single pass, no wrap
+
+
+def test_file_reader_pipe_dribble():
+    """A pipe delivering one byte at a time must still frame correctly
+    (bounded buffering, no corruption)."""
+    import os
+    import threading
+    frames = synth_eti_batch(2, mode=1)
+    rfd, wfd = os.pipe()
+
+    def writer():
+        data = frames.tobytes()
+        with os.fdopen(wfd, "wb") as w:
+            head, rest = data[:64], data[64:]
+            for b in head:          # dribble the sync-search region
+                w.write(bytes([b]))
+                w.flush()
+            w.write(rest)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    r = EtiFileReader("pipe", fileobj=os.fdopen(rfd, "rb"))
+    got = r.frames()
+    t.join()
+    np.testing.assert_array_equal(got, frames)
