@@ -30,8 +30,12 @@ def test_sharded_matches_unsharded(setup):
     sm = ShardedModulator(m, make_mesh(8))
     iq, state, _ = sm.modulate(batch.fic, tuple(batch.subchannels),
                                sm.init_state())
-    np.testing.assert_allclose(np.asarray(iq), np.asarray(iq_ref),
-                               rtol=2e-5, atol=2e-2)
+    # elementwise, with a justified bound: per-shard matmul shapes let
+    # the backend pick different (all-valid) f32 accumulation blockings,
+    # so outputs can differ by f32 rounding -- but never by as much as
+    # one s16 wire LSB (1.0 at the 32767-scale output)
+    d = np.abs(np.asarray(iq) - np.asarray(iq_ref))
+    assert float(d.max()) < 0.05, float(d.max())
     for a, b in zip(state["ti_history"], state_ref["ti_history"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -52,8 +56,8 @@ def test_sharded_streaming_state(setup):
     st = sm.init_state()
     s1, st, _ = sm.modulate(b1.fic, tuple(b1.subchannels), st)
     s2, st, _ = sm.modulate(b2.fic, tuple(b2.subchannels), st)
-    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2),
-                               rtol=2e-5, atol=2e-2)
+    d = np.abs(np.asarray(s2) - np.asarray(r2))
+    assert float(d.max()) < 0.05, float(d.max())   # sub-wire-LSB bound
 
 
 def test_sharded_pallas_kernel_matches_unsharded(setup):

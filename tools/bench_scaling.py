@@ -62,21 +62,48 @@ def worker(n_hosts: int, rank: int, port: int) -> None:
     iq.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
 
-    # cross-host correctness: global checksum of the final sharded batch
-    # must equal the single-process unsharded replay
-    import jax.numpy as jnp
-    chk = float(jax.jit(lambda a: jnp.sum(jnp.abs(a)))(iq))
+    # cross-host correctness, elementwise: every rank replays the same
+    # deterministic input single-process (unsharded) and compares its own
+    # addressable shards of the final sharded batch against the matching
+    # global slices; rank 0 aggregates the per-rank max-abs-diff through
+    # a scratch directory.  Bound: one s16 wire LSB (1.0 at the 32767-scale
+    # output) -- per-shape matmul blocking may differ in f32 rounding;
+    # measured 0.0 on this harness.
+    import tempfile
+    import numpy as np
+    ref_state = m.init_state()
+    for _ in range(ITERS + 1):
+        ref, ref_state, _ = m.modulate_eti(b, ref_state)
+    ref_np = np.asarray(ref)
+    local_max = 0.0
+    for shard in iq.addressable_shards:
+        d = np.abs(np.asarray(shard.data) - ref_np[shard.index])
+        local_max = max(local_max, float(d.max()))
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"dabmod_scaling_{port}")
+    os.makedirs(scratch, exist_ok=True)
+    with open(os.path.join(scratch, f"rank{rank}.json"), "w") as f:
+        json.dump({"max_abs_diff": local_max}, f)
     if rank == 0:
-        ref_state = m.init_state()
-        for _ in range(ITERS + 1):
-            ref, ref_state, _ = m.modulate_eti(b, ref_state)
-        ref_chk = float(jnp.sum(jnp.abs(ref)))
+        diffs = {}
+        deadline = time.time() + 120
+        while len(diffs) < n_hosts and time.time() < deadline:
+            for r in range(n_hosts):
+                p = os.path.join(scratch, f"rank{r}.json")
+                if r not in diffs and os.path.exists(p):
+                    try:
+                        diffs[r] = json.load(open(p))["max_abs_diff"]
+                    except (ValueError, OSError):
+                        pass
+            time.sleep(0.05)
+        max_diff = max(diffs.values()) if diffs else float("nan")
         print(json.dumps({"hosts": n_hosts,
                           "chips": n_hosts * CHIPS_PER_HOST,
                           "samples_per_s": B * 196608 / dt,
-                          "checksum": chk, "checksum_ref": ref_chk,
-                          "checksum_ok": abs(chk - ref_chk)
-                          <= 1e-4 * abs(ref_chk)}), flush=True)
+                          "max_abs_diff": max_diff,
+                          "ranks_compared": len(diffs),
+                          "elementwise_ok": len(diffs) == n_hosts
+                          and max_diff < 0.05}), flush=True)
 
 
 def single_process(chip_counts) -> list:
@@ -187,17 +214,19 @@ def main():
                            if base else None)
         rows.append(r)
         eff = f"{r['efficiency']:.2f}" if r["efficiency"] else "n/a"
-        ok = "ok" if r.get("checksum_ok") else "MISMATCH"
+        ok = "ok" if r.get("elementwise_ok") else "MISMATCH"
         print(f"hosts={r['hosts']} chips={r['chips']} "
               f"{r['samples_per_s'] / 1e6:8.1f} MS/s  efficiency={eff}  "
-              f"output={ok}", flush=True)
+              f"output={ok} (max_abs_diff={r.get('max_abs_diff')})",
+              flush=True)
     note = ("localhost CPU harness: all virtual hosts share one machine's "
             "physical cores, so weak-scaling 'efficiency' is bounded by "
             "~1/N by construction -- the meaningful results here are "
-            "checksum_ok (multi-process jax.distributed mesh produces "
-            "bit-identical output) and the collective-path overhead; "
-            "real scaling efficiency requires a pod slice (the sharding "
-            "code is identical)")
+            "elementwise_ok (every rank compares its addressable shards "
+            "elementwise against a single-process replay; the bound is "
+            "one s16 wire LSB -- measured 0.0 here) and the "
+            "collective-path overhead; real scaling efficiency requires "
+            "a pod slice (the sharding code is identical)")
     print(note, flush=True)
     if args.json_out:
         with open(args.json_out, "w") as f:
