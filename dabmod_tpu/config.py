@@ -29,6 +29,10 @@ class ModSettings:
     file_output_format: str = "complexf"
     file_output_show_metadata: bool = False
     zmq_output_socket_type: str = "pub"
+    # wire format for the ZMQ sink; the reference is f32-only
+    # (src/OutputZeroMQ.cpp) -- s16/u8/s8 are an extension that rides the
+    # device-side FormatConverter and halves/quarters the stream
+    zmq_output_format: str = "complexf"
     output_rate: int = 2_048_000
     resampler_mode: str = "auto"         # auto | poly | fft (see ops.filters)
     cic_eq_clock_rate: int = 0
@@ -123,7 +127,16 @@ class ModSettings:
                 self.normalise = 127.0 / tables.NORMALISE_FACTOR_SDR
             else:
                 raise ValueError(f"unknown file output format {fmt}")
-        elif self.output in ("zmq", "uhd", "soapy", "lime", "loopback"):
+        elif self.output == "zmq":
+            # f32 matches the reference (1/50000); integer formats scale
+            # to the wire range like the file sink does
+            if self.zmq_output_format == "s16":
+                self.normalise = 32767.0 / tables.NORMALISE_FACTOR_SDR
+            elif self.zmq_output_format in ("s8", "u8"):
+                self.normalise = 127.0 / tables.NORMALISE_FACTOR_SDR
+            else:
+                self.normalise = 1.0 / tables.NORMALISE_FACTOR_SDR
+        elif self.output in ("uhd", "soapy", "lime", "loopback"):
             self.normalise = 1.0 / tables.NORMALISE_FACTOR_SDR
         elif self.output == "bladerf":
             self.normalise = 2047.0 / tables.NORMALISE_FACTOR_SDR
@@ -207,6 +220,7 @@ def parse_ini(path: str) -> ModSettings:
         s.output = "zmq"
         s.output_name = get("zmqoutput", "listen")
         s.zmq_output_socket_type = get("zmqoutput", "socket_type", "pub")
+        s.zmq_output_format = get("zmqoutput", "format", "complexf")
 
     # SDR outputs: [uhdoutput]/[soapyoutput]/... sections share the common
     # SDRDeviceConfig keys (ref: src/ConfigParser.cpp:308-477,

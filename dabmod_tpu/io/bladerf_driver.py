@@ -168,8 +168,14 @@ class BladeRFDevice(SdrDevice):
                        ts: FrameTimestamp | None):
         """Blocking sync TX of SC16-Q11 pairs
         (ref: src/output/BladeRF.cpp:303-314)."""
-        flat = np.ascontiguousarray(samples, np.float32).reshape(-1)
-        buf = np.clip(np.rint(flat), -2048, 2047).astype(np.int16)
+        if np.issubdtype(samples.dtype, np.integer):
+            # device-side FormatConverter already produced s16 wire words;
+            # just enforce the SC16-Q11 range
+            from .sdr import sc16_pairs
+            buf = np.clip(sc16_pairs(samples).reshape(-1), -2048, 2047)
+        else:
+            flat = np.ascontiguousarray(samples, np.float32).reshape(-1)
+            buf = np.clip(np.rint(flat), -2048, 2047).astype(np.int16)
         num_samples = buf.shape[0] // 2
         self.dev.sync_tx(buf, num_samples)
         self.num_frames_modulated += 1

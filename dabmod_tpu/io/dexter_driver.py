@@ -288,8 +288,14 @@ class DexterDevice(SdrDevice):
         """Timed transmission: map UTC+PPS to DSP clock counts, arm
         stream0_start_clks, then push the TF through the two IIO buffers
         (ref: src/output/Dexter.cpp:535-636)."""
-        flat = np.ascontiguousarray(samples, np.float32).reshape(-1)
-        buf = np.clip(np.rint(flat), -32768, 32767).astype(np.int16)
+        if np.issubdtype(samples.dtype, np.integer):
+            # already s16 on device (the reference's DEXTER path also
+            # arrives pre-converted, src/DabMod.cpp:454-455)
+            from .sdr import sc16_pairs
+            buf = np.ascontiguousarray(sc16_pairs(samples).reshape(-1))
+        else:
+            flat = np.ascontiguousarray(samples, np.float32).reshape(-1)
+            buf = np.clip(np.rint(flat), -32768, 32767).astype(np.int16)
         if buf.shape[0] != TRANSMISSION_FRAME_LEN_SAMPS:
             raise RuntimeError(
                 f"Dexter: invalid buffer size {buf.shape[0]}, expected "

@@ -131,7 +131,8 @@ def open_output(settings):
                                   False))
     if settings.output == "zmq":
         return ZmqOutput(settings.output_name,
-                         settings.zmq_output_socket_type)
+                         settings.zmq_output_socket_type,
+                         getattr(settings, "zmq_output_format", "complexf"))
     if settings.output in ("uhd", "soapy", "lime", "bladerf", "dexter",
                            "loopback"):
         return open_sdr_output(settings)

@@ -31,6 +31,25 @@ FRAMES_MAX_SIZE_UNSYNC = 8
 FRAMES_MAX_SIZE_SYNC = 250
 
 
+def sc16_pairs(frame: np.ndarray) -> np.ndarray:
+    """View a device-converted frame as int16 I/Q pairs.
+
+    The modulator's device-side FormatConverter packs s16 pairs into i32
+    wire words for the fast D2H path (models/modulator.py); sc16 drivers
+    unpack them with a free reinterpreting view."""
+    if frame.dtype == np.int32:
+        return frame.view(np.int16).reshape(*frame.shape, 2)
+    return frame
+
+
+def n_complex_samples(frame: np.ndarray) -> int:
+    """Complex sample count of a frame in any wire layout (f32/int16
+    pairs, or i32-packed s16 where one word is one complex sample)."""
+    if frame.dtype == np.int32:
+        return int(frame.size)
+    return int(frame.size // 2)
+
+
 class SdrDevice:
     """Interface mirror of src/output/SDRDevice.h:113-146."""
 
@@ -236,7 +255,11 @@ class SdrOutput:
         (ref: src/output/SDR.cpp:135-201)."""
         frame = np.asarray(iq)
         if isinstance(ts, list):
-            if frame.ndim >= 3 and frame.shape[0] == len(ts):
+            # batched arrays: [B, N, 2] float/int16 pairs or [B, N]
+            # i32-packed s16 (device-side FormatConverter wire words)
+            batched = (frame.ndim >= 3
+                       or (frame.ndim == 2 and frame.dtype == np.int32))
+            if batched and frame.shape[0] == len(ts):
                 for i, entry in enumerate(ts):
                     t = entry[1] if isinstance(entry, tuple) else entry
                     self._enqueue(frame[i], t)
@@ -248,7 +271,11 @@ class SdrOutput:
 
     def _enqueue(self, frame: np.ndarray, ts):
         if self.feedback_server is not None and ts is not None:
-            self.feedback_server.set_tx_frame(frame, ts)
+            snap = frame
+            if np.issubdtype(snap.dtype, np.integer):
+                # the DPD engine consumes f32 pairs; unpack the wire words
+                snap = sc16_pairs(snap).astype(np.float32)
+            self.feedback_server.set_tx_frame(snap, ts)
         # push_overflow: drop oldest on full (lib/ThreadsafeQueue.h).  The
         # evict-one-then-put must be atomic against other producers, else a
         # second writer could win the freed slot and the retry would raise
@@ -298,7 +325,7 @@ class SdrOutput:
             device_time = get_secs()
             # timestamp continuity vs expected per-frame increment
             # (ref: src/output/SDR.cpp:292-326)
-            n_samps = int(np.asarray(frame).size // 2)
+            n_samps = n_complex_samples(np.asarray(frame))
             if self._last_tx_ticks is not None:
                 inc = n_samps * 16_384_000 // self.sample_rate
                 exp_sec = self._last_tx_ticks[0] + \

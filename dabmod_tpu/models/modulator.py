@@ -161,10 +161,21 @@ class Modulator:
         # --- device-side wire-format conversion (the FormatConverter,
         #     src/FormatConverter.cpp:62-206, moved on-chip: the D2H copy
         #     then moves 2-4x fewer bytes and the host writes raw bytes) ---
+        # wire-format selection mirrors the reference's output_format
+        # decision (src/DabMod.cpp:450-466): file s8/u8/s16 converts, the
+        # sc16-native SDR devices (BladeRF, Dexter) always take s16, and
+        # ZMQ follows its own configured format (an extension -- the
+        # reference's ZMQ sink is f32-only)
         self._wire_fmt = None
-        if (s.device_format_conversion and s.output == "file"
-                and s.file_output_format in ("s16", "u8", "s8")):
-            self._wire_fmt = s.file_output_format
+        if s.device_format_conversion:
+            if (s.output == "file"
+                    and s.file_output_format in ("s16", "u8", "s8")):
+                self._wire_fmt = s.file_output_format
+            elif (s.output == "zmq"
+                    and s.zmq_output_format in ("s16", "u8", "s8")):
+                self._wire_fmt = s.zmq_output_format
+            elif s.output in ("bladerf", "dexter"):
+                self._wire_fmt = "s16"
         if self._kiss:
             # the kiss configuration's wire format is complexfix = Q1.14
             # int16 pairs, identical in memory to interleaved s16
