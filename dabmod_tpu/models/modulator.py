@@ -195,6 +195,11 @@ class Modulator:
                 precision=fft_mod._PRECISION,
                 interpret=(backend == "pallas-interpret"))
 
+        # swappable time-interleaver implementation: ShardedModulator
+        # substitutes the minimal-halo shard_map form under a mesh
+        # (parallel/sharding.make_sharded_time_interleave)
+        self._time_interleave = fec.time_interleave
+
         self._modulate = jax.jit(self._modulate_impl, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
@@ -246,8 +251,8 @@ class Modulator:
                 bits = fec.unpack_bits(subch_bytes[i])
                 pb = fec.fec_path(bits, self._subch_prbs[i],
                                   self._subch_nbits[i], self._subch_punct[i])
-                ti, h = fec.time_interleave(pb, ti_history[i],
-                                            self._subch_masks[i])
+                ti, h = self._time_interleave(pb, ti_history[i],
+                                              self._subch_masks[i])
                 cif_parts.append(ti)
                 new_hist.append(h)
 

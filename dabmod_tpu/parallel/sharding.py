@@ -84,6 +84,72 @@ def shard_ofdm_backend(backend, mesh: Mesh, has_stats: bool):
     return wrapped
 
 
+def make_sharded_time_interleave(mesh: Mesh):
+    """Drop-in replacement for ops.fec.time_interleave under a mesh.
+
+    The auto-SPMD partition of the concat/shifted-slice formulation
+    exchanges boundary rows once per delay lane (41 collectives,
+    ~6.8 MB/step measured on the 8-device CPU mesh for a 16-TF batch);
+    this explicit shard_map form moves the minimal halo instead: H
+    collective-permutes of each shard's tail rows (H = hops covering the
+    15-row delay line) plus one psum that replicates the new history --
+    3 collectives, ~0.7 MB, bit-identical output (measured 6x faster on
+    the CPU mesh; see tools/measure_ti_collectives.py and
+    ARCHITECTURE.md section 6).
+
+    The carried state keeps the exact same pytree shape as the unsharded
+    path (replicated [15, n]), so checkpointed/streamed state moves
+    freely between mesh shapes.
+    """
+    from ..ops.fec import TI_DELAYS
+
+    axes = mesh.axis_names
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def sharded_ti(bits, history, delay_masks=None):
+        from ..ops import fec
+        T, n = bits.shape
+        if n_dev == 1 or T % n_dev or (T // n_dev) * (n_dev - 1) < 0:
+            return fec.time_interleave(bits, history, delay_masks)
+        tl = T // n_dev
+        hops = -(-15 // tl)                # predecessors covering 15 rows
+
+        def local(b, hist):
+            # b [tl, n] local rows; hist [15, n] replicated global tail
+            i = jax.lax.axis_index(axes)
+            tails = []
+            for h in range(hops, 0, -1):
+                perm = [(s, s + h) for s in range(n_dev - h)]
+                tails.append(jax.lax.ppermute(b, axes, perm))
+            ext = jnp.concatenate(tails, axis=0)[-15:]
+            # ext row j holds global row i*tl - 15 + j (zeros where that
+            # is negative); the gap is filled from the carried history at
+            # hist[i*tl + j]
+            j = jnp.arange(15)[:, None]
+            pad = jnp.concatenate(
+                [hist, jnp.zeros((15, n), hist.dtype)], axis=0)
+            start = jnp.minimum(i * tl, 15)
+            carry = jax.lax.dynamic_slice(pad, (start, 0), (15, n))
+            hist_i = jnp.where(j >= jnp.maximum(0, 15 - i * tl),
+                               ext, carry)
+            full = jnp.concatenate([hist_i, b], axis=0)
+            fr = full.reshape(15 + tl, n // 16, 16)
+            lanes = [fr[15 - d:15 - d + tl, :, k]
+                     for k, d in enumerate(TI_DELAYS)]
+            out = jnp.stack(lanes, axis=-1).reshape(tl, n)
+            # the last device owns the global tail; psum replicates it
+            new_hist = jax.lax.psum(
+                jnp.where(i == n_dev - 1, full[-15:], 0), axes)
+            return out, new_hist
+
+        spec = P(axes)
+        return jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
+                             out_specs=(spec, P()), check_vma=False)(
+                                 bits, history)
+
+    return sharded_ti
+
+
 class ShardedModulator:
     """Runs a Modulator data-parallel over the TF axis of a device mesh.
 
@@ -103,6 +169,13 @@ class ShardedModulator:
                 has_stats=modulator.settings.enable_cfr)
             modulator = copy.copy(modulator)
             modulator._ofdm_backend = wrapped
+        else:
+            import copy
+            modulator = copy.copy(modulator)
+        # minimal-halo time interleaver (bit-identical, ~9x less
+        # collective payload than the auto-SPMD partition of the concat
+        # formulation -- see make_sharded_time_interleave)
+        modulator._time_interleave = make_sharded_time_interleave(mesh)
         self.m = modulator
         self.mesh = mesh
         # shard the leading (ETI frame / TF) axis over ALL mesh axes --

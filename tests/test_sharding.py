@@ -118,3 +118,35 @@ def test_entry_compiles():
     fn, args = ge.entry()
     iq, state = jax.jit(fn)(*args)
     assert iq.shape[0] == 2
+
+
+def test_sharded_time_interleave_minimal_halo(setup):
+    """make_sharded_time_interleave must be bit-identical to the plain
+    interleaver across hop regimes (local rows >= 15, < 15, and == 1) and
+    across streamed batches."""
+    from dabmod_tpu.ops.fec import time_interleave
+    from dabmod_tpu.parallel.sharding import (make_mesh,
+                                              make_sharded_time_interleave)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax
+
+    rng = np.random.default_rng(3)
+    n = 1024
+    for T in (8, 64, 128):      # Tl = 1, 8, 16 on the 8-device mesh
+        mesh = make_mesh(8)
+        sharded_ti = make_sharded_time_interleave(mesh)
+        shard = NamedSharding(mesh, P("tf"))
+        repl = NamedSharding(mesh, P())
+        bits1 = rng.integers(0, 2, (T, n)).astype(np.int32)
+        bits2 = rng.integers(0, 2, (T, n)).astype(np.int32)
+        hist = rng.integers(0, 2, (15, n)).astype(np.int32)
+
+        o1, h1 = time_interleave(jnp.asarray(bits1), jnp.asarray(hist))
+        o2, h2 = time_interleave(jnp.asarray(bits2), h1)
+
+        f = jax.jit(sharded_ti, in_shardings=(shard, repl),
+                    out_shardings=(shard, repl))
+        s1, g1 = f(jax.device_put(bits1, shard), jax.device_put(hist, repl))
+        s2, g2 = f(jax.device_put(bits2, shard), g1)
+        for a, b in ((o1, s1), (h1, g1), (o2, s2), (h2, g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
