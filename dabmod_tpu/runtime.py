@@ -79,10 +79,18 @@ class ModRuntime:
         self._next_fault_poll = RC_FAULT_POLL_FRAMES
         self._frames_since_clip_poll = RC_FAULT_POLL_FRAMES
         self._frames_since_stats_poll = RC_FAULT_POLL_FRAMES
-        # output pipeline: depth 2 = classic double buffering (batch N-1
-        # being written while N computes and N+1 parses)
-        self._out_queue: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        # output pipeline, two stages so the blocking D2H fetch and the
+        # sink write overlap instead of serialising in one thread (the
+        # round-3 s16 path ran at 0.64 of the transport ceiling because
+        # fetch(N) waited for write(N-1)): dispatch -> [fetch thread:
+        # np.asarray] -> [writer thread: output.write].  Depth 4 keeps
+        # enough batches in flight to ride out tunnel jitter.
+        self._out_queue: queue_mod.Queue = queue_mod.Queue(maxsize=4)
+        self._write_queue: queue_mod.Queue = queue_mod.Queue(maxsize=4)
         self._writer_fault: BaseException | None = None
+        self._fetcher = threading.Thread(target=self._fetch_loop,
+                                         daemon=True, name="output-fetch")
+        self._fetcher.start()
         self._writer = threading.Thread(target=self._writer_loop,
                                         daemon=True, name="output-writer")
         self._writer.start()
@@ -292,13 +300,14 @@ class ModRuntime:
     # ------------------------------------------------------------------
     # Output writer thread: D2H fetch + stats folding + sink write happen
     # here so they never block the dispatch of the next device batch.
-    def _writer_loop(self):
+    def _fetch_loop(self):
+        """Stage 1: block on the device->host copy, hand host arrays on."""
         while True:
             item = self._out_queue.get()
-            if item is None:
-                return
-            if isinstance(item, threading.Event):   # flush barrier
-                item.set()
+            if item is None or isinstance(item, threading.Event):
+                self._write_queue.put(item)          # forward sentinel
+                if item is None:
+                    return
                 continue
             iq, stats, meta, T, n_cells = item
             if self._writer_fault is not None:
@@ -317,10 +326,7 @@ class ModRuntime:
                         self._frames_since_stats_poll = 0
                         self._note_stats(stats, n_cells)
                 arr = np.asarray(iq)                 # blocking D2H copy
-                try:
-                    self.output.write(arr, meta)
-                except TypeError:
-                    self.output.write(arr)
+                self._write_queue.put((arr, meta, T))
                 if "num_clipped" in stats:
                     # device-side FormatConverter clip counter: a scalar
                     # fetch is a full tunnel round trip, so sample it at
@@ -330,6 +336,27 @@ class ModRuntime:
                         self._frames_since_clip_poll = 0
                         self.output.num_clipped_samples = int(
                             np.asarray(stats["num_clipped"]))
+            except BaseException as e:               # noqa: BLE001
+                log.error("output fetch failed: %s", e)
+                self._writer_fault = e
+
+    def _writer_loop(self):
+        """Stage 2: push fetched host arrays into the sink."""
+        while True:
+            item = self._write_queue.get()
+            if item is None:
+                return
+            if isinstance(item, threading.Event):   # flush barrier
+                item.set()
+                continue
+            arr, meta, T = item
+            if self._writer_fault is not None:
+                continue
+            try:
+                try:
+                    self.output.write(arr, meta)
+                except TypeError:
+                    self.output.write(arr)
                 self._tracepoint("output,write %d" % T)
             except BaseException as e:               # noqa: BLE001
                 log.error("output writer failed: %s", e)
@@ -347,6 +374,7 @@ class ModRuntime:
     def close(self):
         self._flush_output()
         self._out_queue.put(None)
+        self._fetcher.join(timeout=5)
         self._writer.join(timeout=5)
         if hasattr(self.output, "close"):
             self.output.close()
