@@ -302,6 +302,39 @@ class Modulator:
                 symbols = cplx.pmap(
                     lambda x: x * self._cic_taps[None, None, :], symbols)
 
+        if self._kiss:
+            # fft_engine=kiss: the whole back end runs in exact int16
+            # arithmetic -- bit-identical to the reference's KISS chain
+            # (per-stage rounding and all; ops/kiss_fixed.py), not a
+            # float approximation quantised at the end.
+            from ..ops import kiss_fixed
+            with jax.named_scope("kiss_ifft"):
+                qsyms = cplx.pmap(
+                    lambda x: jnp.rint(x * 16384.0).astype(jnp.int32),
+                    symbols)
+                bins_i = ofdm.to_bins_slices(qsyms, p.nb_carriers,
+                                             p.spacing)
+                td_i = kiss_fixed.kiss_fft_fixed(bins_i[0], bins_i[1],
+                                                 inverse=True)
+            with jax.named_scope("guard_interval"):
+                ov = self.settings.ofdm_window_overlap
+                if ov == 0:
+                    iq_i = ofdm.guard_interval_unwindowed(
+                        td_i, p.null_size, p.sym_size)
+                else:
+                    iq_i = kiss_fixed.guard_interval_windowed_fixed(
+                        td_i, p.null_size, p.sym_size, ov)
+            with jax.named_scope("interleave_out"):
+                out = cplx.planes_to_pairs(iq_i)        # [B, N, 2] int32
+                out = out.astype(jnp.int16)             # Q1.14 wire
+                out = jax.lax.bitcast_convert_type(out, jnp.int32)
+            new_state = {"ti_history": new_hist,
+                         "tf_index": state["tf_index"] + B}
+            # the reference's kiss chain has no FormatConverter (and so
+            # no clip counter); keep the stat present for RC parity
+            return out, new_state, {"num_clipped": jnp.zeros((),
+                                                             jnp.int32)}
+
         with jax.named_scope("ofdm_ifft"):
             bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
             kstats = None
@@ -373,15 +406,8 @@ class Modulator:
                 mer_state["mer_index"] = (state["mer_index"] + B) % S
 
         with jax.named_scope("gain"):
-            if self._kiss:
-                # no GainControl in the fixed-point chain; fold the KISS
-                # FFT's 1/N scaling and the Q1.14 LSB scale into one factor:
-                # round(td/2048 * 16384) == round(td * 8)
-                td = cplx.pmap(lambda x: x * (16384.0 / float(p.spacing)),
-                               td)
-            else:
-                gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
-                td = ofdm.apply_gain(td, gains, constant_gain)
+            gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
+            td = ofdm.apply_gain(td, gains, constant_gain)
 
         with jax.named_scope("guard_interval"):
             if self.settings.ofdm_window_overlap == 0:
@@ -430,10 +456,6 @@ class Modulator:
             out = cplx.planes_to_pairs(iq)       # [B, N, 2] wire form
         if self._wire_fmt is not None:
             with jax.named_scope("format_convert"):
-                if self._kiss:
-                    # quantise to the nearest Q1.14 step (the fixed chain
-                    # rounds at every stage; nearest at the end is closest)
-                    out = jnp.rint(out)
                 out, n_clip = filters.format_convert(out, self._wire_fmt)
                 stats["num_clipped"] = n_clip
                 # pack the narrow integer stream into i32 wire words: the

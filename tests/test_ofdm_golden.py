@@ -218,7 +218,7 @@ def test_full_frame_iq_vs_reference(name, ov):
     """Complete TM-I transmission frames (2 TFs, 2 sub-channels) against
     reference-generated I/Q from the fft_engine=kiss configuration
     (FEC -> QPSK -> freq-interleave -> diff-mod -> IFFT -> GI, plain and
-    windowed).  The comparison must sit AT the oracle's own int16
+    windowed).  The float chain must sit AT the oracle's own int16
     quantisation floor: any real chain defect (wrong permutation, bin
     mapping, GI window...) collapses the MER by tens of dB."""
     td = _fixed_chain_outputs()
@@ -232,10 +232,34 @@ def test_full_frame_iq_vs_reference(name, ov):
     mer = _mer_db(ref, mine)
     assert mer >= 46.0, f"full-chain MER {mer:.2f} dB below bound"
     if ov == 0:
-        # the chain's own error must be negligible against the oracle's
-        # quantisation noise: within 0.05 dB of the kiss floor
+        # the float chain's own error must be negligible against the
+        # oracle's quantisation noise: within 0.05 dB of the kiss floor
         floor = _kiss_floor_db()
         assert mer >= floor - 0.05, (mer, floor)
+
+
+@pytest.mark.parametrize("name,ov", [("e2e_iq_fixed", 0),
+                                     ("e2e_iq_fixed_ov90", 90)])
+def test_kiss_configuration_bit_exact(name, ov):
+    """The production fft_engine=kiss path must produce the reference's
+    s16 wire samples *bit-exactly* -- per-stage KISS rounding, fpm Q1.14
+    window arithmetic and all (ops/kiss_fixed.py emulates
+    kiss/kiss_fft.c + fpm/fixed.hpp; ref chain src/OfdmGenerator.cpp:
+    467-579, src/GuardIntervalInserter.cpp complexfix branches)."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.models import Modulator, make_default_layout
+
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(1, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=1, fft_engine="kiss",
+                                      ofdm_window_overlap=ov))
+    fic = load("e2e_fixed_fic_in").reshape(8, 96)
+    sub0 = load("e2e_fixed_sub0_in").reshape(8, -1)
+    sub1 = load("e2e_fixed_sub1_in").reshape(8, -1)
+    out, _, stats = m.modulate(fic, (sub0, sub1), m.init_state())
+    wire = np.asarray(out).view(np.int16)      # packed i32 -> s16 pairs
+    ref = load(name).astype(np.int16)
+    np.testing.assert_array_equal(wire.reshape(-1), ref)
 
 
 @pytest.mark.parametrize("ov", [0, 90])
