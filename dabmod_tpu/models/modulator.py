@@ -129,6 +129,7 @@ class Modulator:
 
         # --- Resampler ---
         self._res_plan = self._poly_plan = None
+        self._res_backend = None
         if s.output_rate != 2_048_000:
             mode_rs = s.resampler_mode
             if mode_rs == "auto":
@@ -143,6 +144,26 @@ class Modulator:
             else:
                 self._res_plan = filters.ResamplerPlan.create(
                     2_048_000, s.output_rate, p.spacing)
+        if self._poly_plan is not None:
+            # fused Pallas resampler+interleave kernel (bitcast framing,
+            # K=128 matmuls, single interleaved HBM write); same backend
+            # gate as the OFDM kernel.  Needs the 128-sample framing.
+            backend_rs = s.ofdm_backend
+            if backend_rs == "auto":
+                backend_rs = ("pallas" if jax.default_backend() == "tpu"
+                              else "xla")
+            if backend_rs in ("pallas", "pallas-interpret") \
+                    and 128 % self._poly_plan.M == 0:
+                from ..ops import resampler_kernel
+                plan128 = filters.PolyphasePlan.create(
+                    2_048_000, s.output_rate, block=128)
+                if resampler_kernel.supports(plan128):
+                    self._poly_plan = plan128
+                    from ..ops import fft as fft_mod2
+                    self._res_backend = \
+                        resampler_kernel.build_resampler_backend(
+                            plan128, precision=fft_mod2._PRECISION,
+                            interpret=(backend_rs == "pallas-interpret"))
 
         # --- DPD ---
         self._poly_am = self._poly_pm = None
@@ -425,13 +446,22 @@ class Modulator:
         new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B, **mer_state}
 
+        out_pairs = None
         if self._poly_plan:
             with jax.named_scope("resampler"):
-                y, carry = filters.resample_poly(
-                    cplx.pmap(lambda x: x.reshape(-1), iq),
-                    self._poly_plan, state["res_carry"])
-                new_state["res_carry"] = carry
-                iq = cplx.pmap(lambda x: x.reshape(B, -1), y)
+                flat = cplx.pmap(lambda x: x.reshape(-1), iq)
+                if self._res_backend is not None:
+                    # fused kernel emits the interleaved pair stream
+                    # directly; no separate planes->pairs pass
+                    pairs, carry = self._res_backend(
+                        flat, state["res_carry"])
+                    new_state["res_carry"] = carry
+                    out_pairs = pairs.reshape(B, -1, 2)
+                else:
+                    y, carry = filters.resample_poly(
+                        flat, self._poly_plan, state["res_carry"])
+                    new_state["res_carry"] = carry
+                    iq = cplx.pmap(lambda x: x.reshape(B, -1), y)
         elif self._res_plan:
             with jax.named_scope("resampler"):
                 # rare decimation path: the pair-domain freq resampler
@@ -446,14 +476,22 @@ class Modulator:
 
         if self._poly_am is not None or self._lut is not None:
             with jax.named_scope("dpd"):
-                if self._poly_am is not None:
+                if out_pairs is not None:        # pair-domain (fused path)
+                    if self._poly_am is not None:
+                        out_pairs = filters.memless_poly_pairs(
+                            out_pairs, self._poly_am, self._poly_pm)
+                    else:
+                        out_pairs = filters.memless_lut_pairs(
+                            out_pairs, self._lut, self._lut_scale)
+                elif self._poly_am is not None:
                     iq = filters.memless_poly(
                         iq, self._poly_am, self._poly_pm)
                 else:
                     iq = filters.memless_lut(iq, self._lut, self._lut_scale)
 
         with jax.named_scope("interleave_out"):
-            out = cplx.planes_to_pairs(iq)       # [B, N, 2] wire form
+            out = (out_pairs if out_pairs is not None
+                   else cplx.planes_to_pairs(iq))  # [B, N, 2] wire form
         if self._wire_fmt is not None:
             with jax.named_scope("format_convert"):
                 out, n_clip = filters.format_convert(out, self._wire_fmt)

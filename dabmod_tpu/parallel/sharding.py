@@ -176,6 +176,10 @@ class ShardedModulator:
         # collective payload than the auto-SPMD partition of the concat
         # formulation -- see make_sharded_time_interleave)
         modulator._time_interleave = make_sharded_time_interleave(mesh)
+        # the fused Pallas resampler works on the flat sample stream of
+        # the whole batch; under a mesh fall back to the XLA polyphase
+        # (auto-SPMD partitions its banded matmul; same plan, same output)
+        modulator._res_backend = None
         self.m = modulator
         self.mesh = mesh
         # shard the leading (ETI frame / TF) axis over ALL mesh axes --

@@ -8,6 +8,7 @@ batched pair-domain ops to match.
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -196,3 +197,70 @@ def test_papr():
     got = float(filters.papr_db(_planes(x), axis=0))
     mean = (16 + 1023) / 1024
     assert abs(got - 10 * np.log10(16 / mean)) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas resampler kernel (ops/resampler_kernel.py), interpret mode
+# ---------------------------------------------------------------------------
+
+def test_resampler_kernel_matches_xla_polyphase():
+    from dabmod_tpu.ops.filters import PolyphasePlan, resample_poly
+    from dabmod_tpu.ops import resampler_kernel as rk
+
+    for rate in (8_192_000, 4_096_000):
+        plan = PolyphasePlan.create(2_048_000, rate, block=128)
+        assert rk.supports(plan)
+        apply = rk.build_resampler_backend(plan, interpret=True)
+        h2 = 2 * plan.half
+        rng = np.random.default_rng(7)
+        n = 4096
+        re = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        im = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        z = (jnp.zeros((h2,), jnp.float32),) * 2
+        pairs, carry = jax.jit(apply)((re, im), z)
+        (yr, yi), c2 = jax.jit(
+            lambda p, c: resample_poly(p, plan, c))((re, im), z)
+        ref = np.stack([np.asarray(yr), np.asarray(yi)], -1)
+        # the kernel emulates Precision.HIGH by hi/lo bf16 splitting;
+        # vs XLA's own HIGH this differs by ~2e-5 absolute on O(1) data
+        # (~0.6 s16 wire LSB at full scale)
+        np.testing.assert_allclose(np.asarray(pairs), ref,
+                                   rtol=1e-3, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(carry[0]), np.asarray(c2[0]))
+
+        # streaming: two half-stream calls == one full call
+        half = n // 2
+        p1, c1 = jax.jit(apply)((re[:half], im[:half]), z)
+        p2, _ = jax.jit(apply)((re[half:], im[half:]), c1)
+        both = np.concatenate([np.asarray(p1), np.asarray(p2)])
+        np.testing.assert_allclose(both, np.asarray(pairs),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_modulator_fused_resampler_matches_xla(tmp_path):
+    """Full modulator with the fused resampler (interpret mode) vs the
+    XLA polyphase path, including DPD in the pair domain."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
+    from dabmod_tpu.models import Modulator, make_default_layout
+
+    coef = tmp_path / "poly.coef"
+    # constant AM gain + constant PM rotation: exercises the pair-domain
+    # DPD math while staying scale-independent (polynomial terms in
+    # |x|^2 diverge in f32 at the +-32767 sample scale for any path)
+    coef.write_text("1\n5\n1.02\n0\n0\n0\n0\n0.05\n0\n0\n0\n0\n")
+    layout = make_default_layout(1)
+    batch = parse_eti_frames(synth_eti_batch(8, mode=1))
+    kw = dict(dab_mode=1, output_rate=8_192_000,
+              poly_coef_file=str(coef))
+    m_ref = Modulator(layout, ModSettings(ofdm_backend="xla", **kw))
+    m_fus = Modulator(layout, ModSettings(ofdm_backend="pallas-interpret",
+                                          **kw))
+    assert m_fus._res_backend is not None
+    assert m_ref._res_backend is None
+    iq_ref, _, _ = m_ref.modulate_eti(batch, m_ref.init_state())
+    iq_fus, _, _ = m_fus.modulate_eti(batch, m_fus.init_state())
+    assert iq_fus.shape == iq_ref.shape
+    # bound: one s16 wire LSB at the 32767-scale output
+    d = np.abs(np.asarray(iq_fus) - np.asarray(iq_ref))
+    assert float(d.max()) < 1.0, float(d.max())
