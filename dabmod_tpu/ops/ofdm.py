@@ -72,16 +72,26 @@ def diff_modulate(sym_q: jnp.ndarray, ref_q: jnp.ndarray) -> jnp.ndarray:
 def phases_to_carriers(phases: jnp.ndarray):
     """Phase indices -> (re, im) float32 carrier planes.
 
-    Expressed as one-hot compares + selects (VPU vector code) rather than
-    an 8-entry dynamic gather, which is slow on TPU."""
-    re = jnp.zeros(phases.shape, jnp.float32)
-    im = jnp.zeros(phases.shape, jnp.float32)
-    for d in range(8):
-        hot = (phases == d)
-        if PHASE_TAB[d, 0]:
-            re = jnp.where(hot, jnp.float32(PHASE_TAB[d, 0]), re)
-        if PHASE_TAB[d, 1]:
-            im = jnp.where(hot, jnp.float32(PHASE_TAB[d, 1]), im)
+    Bit arithmetic on the eighth-turn index q (b2 b1 b0):
+
+        odd q  (b0=1):  re = sqrt(1/2) * (1 - 2*(b1^b2))
+                        im = sqrt(1/2) * (1 - 2*b2)
+        even q (b0=0):  re = (1 - b1) * (1 - 2*b2)
+                        im = b1       * (1 - 2*b2)
+
+    ~6 integer VPU ops + 2 selects per element, vs the 8-compare /
+    10-select one-hot chain this replaces (which was 7-8% of device time
+    in the per-op profile)."""
+    q = phases.astype(jnp.int32)
+    b0 = q & 1
+    b1 = (q >> 1) & 1
+    b2 = (q >> 2) & 1
+    sb2 = (1 - 2 * b2).astype(jnp.float32)
+    odd = b0 == 1
+    half = jnp.float32(np.sqrt(0.5))
+    re = jnp.where(odd, half * (1 - 2 * (b1 ^ b2)).astype(jnp.float32),
+                   (1 - b1).astype(jnp.float32) * sb2)
+    im = jnp.where(odd, half * sb2, b1.astype(jnp.float32) * sb2)
     return re, im
 
 
