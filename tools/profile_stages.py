@@ -19,10 +19,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ["fec", "qpsk_map", "diff_mod", "carriers", "tii_null", "ofdm_ifft",
-          "cfr", "gain", "guard_interval", "fir", "resampler", "dpd"]
+          "kiss_ifft", "cfr", "gain", "guard_interval", "fir", "resampler",
+          "dpd", "interleave_out", "format_convert"]
 
 
-def collect_device_times(logdir):
+def hlo_scope_map(compiled) -> dict:
+    """Map HLO instruction names to their jax.named_scope stage.
+
+    Fused ops lose the scope from their display names, but the optimized
+    HLO's per-instruction metadata keeps the op_name path (e.g.
+    jit(impl)/resampler/dot_general); parse it once so profile events can
+    be attributed exactly."""
+    import re
+    out = {}
+    for m in re.finditer(
+            r"%?([\w.\-]+)\s*=\s[^\n]*metadata=\{[^}]*op_name=\"([^\"]*)\"",
+            compiled.as_text()):
+        name, path = m.group(1), m.group(2)
+        for s in STAGES:
+            if "/" + s + "/" in path or path.endswith("/" + s) \
+                    or path.startswith(s + "/") or "/" + s + " " in path:
+                out[name] = s
+                break
+    return out
+
+
+def collect_device_times(logdir, scope_map=None):
     """Aggregate XLA-op device time by named_scope prefix from an xplane."""
     try:
         from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -57,11 +79,15 @@ def collect_device_times(logdir):
                             if st.str_value:
                                 long_name = st.str_value
                     stage = None
-                    for s in STAGES:
-                        if s + "/" in long_name or long_name.startswith(s) \
-                                or "/" + s in long_name:
-                            stage = s
-                            break
+                    if scope_map is not None:
+                        stage = scope_map.get(name.lstrip("%"))
+                    if stage is None:
+                        for s in STAGES:
+                            if s + "/" in long_name \
+                                    or long_name.startswith(s) \
+                                    or "/" + s in long_name:
+                                stage = s
+                                break
                     totals[stage or "(other)"] += ev.duration_ps
                     total_ns += ev.duration_ps
     return totals, total_ns
@@ -113,6 +139,8 @@ def main():
     step = jax.jit(impl, donate_argnums=(2,))
 
     state = m.init_state()
+    scope_map = hlo_scope_map(
+        step.lower(fic, subs, state, cg, vk).compile())
     iq, probe, state = step(fic, subs, state, cg, vk)
     float(probe)
 
@@ -125,7 +153,7 @@ def main():
         float(probe)
         dt = time.perf_counter() - t0
 
-    totals, total_ps = collect_device_times(logdir)
+    totals, total_ps = collect_device_times(logdir, scope_map)
     tf_duration = p.tf_samples / 2_048_000.0
     rt = n_iter * batch_tf * tf_duration / dt
     print(f"\nconfig '{name}' batch_tf={batch_tf}: "
