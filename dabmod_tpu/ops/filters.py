@@ -58,25 +58,49 @@ def _banded_apply(x: jnp.ndarray, T: jnp.ndarray, block: int,
     return jnp.einsum("...f,fo->...o", frames, T, precision=_PRECISION)
 
 
-def fir_filter(x, taps, block: int = 64):
+def fir_filter(x, taps, block: int = 128):
     """x: (re, im) planes [..., N]; taps: [ntaps] float32 -> planes.
 
-    Banded-matmul formulation: each plane is framed into `block`-sample
-    rows with an ntaps-sample right halo and multiplied by the precomputed
-    banded operator T[c, i] = taps[c - i].  One HBM pass + MXU work, vs
-    ~ntaps passes for the shifted-add form (HBM-bound at 1000x real-time).
-    The zero right-pad reproduces the reference's truncation at the TF
-    boundary (src/FIRFilter.cpp:218-226).
+    Banded-matmul formulation with lane-aligned framing: with block = 128
+    the [*, N] -> [*, nb, 128] reshape is a free bitcast (the minor dim is
+    exactly the TPU lane width), and the operator splits into two
+    full-depth K=128 matmuls
+
+        y[i] = x2d[i] @ A + x2d[i+1] @ B
+
+    where A = T[:128] and only B's first ntaps rows are non-zero (same
+    restructuring as ops/resampler_kernel.py, minus the Pallas kernel --
+    FIR output stays in the plane domain so XLA's matmuls suffice).  The
+    zero row appended per plane reproduces the reference's truncation at
+    the TF boundary (src/FIRFilter.cpp:218-226).
     """
     taps = np.asarray(taps, np.float32)
     ntaps = taps.size
-    T = jnp.asarray(_fir_operator(taps.tobytes(), ntaps, block))
     n = x[0].shape[-1]
     lead = x[0].shape[:-1]
+    if n % block or ntaps > block:
+        # irregular sizes: generic concat-framed einsum
+        T = jnp.asarray(_fir_operator(taps.tobytes(), ntaps, block))
+
+        def one(p):
+            y = _banded_apply(p, T, block, ntaps)
+            return y.reshape(*lead, -1)[..., :n]
+        return cplx.pmap(one, x)
+
+    T = _fir_operator(taps.tobytes(), ntaps, block)
+    A = jnp.asarray(np.ascontiguousarray(T[:block]))
+    B_np = np.zeros((block, block), np.float32)
+    B_np[:ntaps] = T[block:block + ntaps]
+    B = jnp.asarray(B_np)
+    nb = n // block
 
     def one(p):
-        y = _banded_apply(p, T, block, ntaps)
-        return y.reshape(*lead, -1)[..., :n]
+        x2d = p.reshape(*lead, nb, block)              # bitcast
+        zero = jnp.zeros((*lead, 1, block), p.dtype)
+        nxt = jnp.concatenate([x2d[..., 1:, :], zero], axis=-2)
+        y = (jnp.einsum("...f,fo->...o", x2d, A, precision=_PRECISION)
+             + jnp.einsum("...f,fo->...o", nxt, B, precision=_PRECISION))
+        return y.reshape(*lead, n)
     return cplx.pmap(one, x)
 
 
