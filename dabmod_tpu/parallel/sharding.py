@@ -150,6 +150,45 @@ def make_sharded_time_interleave(mesh: Mesh):
     return sharded_ti
 
 
+def shard_resampler_backend(backend, mesh: Mesh, half: int):
+    """Run the fused Pallas resampler under the mesh via shard_map.
+
+    Each shard resamples its contiguous slice of the flat sample stream;
+    the only coupling is the 2*half-sample input history at each shard
+    boundary: shard i takes shard i-1's tail (one ppermute), shard 0
+    takes the carried state (the previous batch's global tail), and the
+    new replicated carry is the last shard's tail (one psum).  Exactly
+    the minimal-halo pattern of make_sharded_time_interleave."""
+    axes = mesh.axis_names
+    n_dev = int(np.prod(mesh.devices.shape))
+    h2 = 2 * half
+
+    def sharded(planes, carry):
+        if n_dev == 1:
+            return backend(planes, carry)
+        perm = [(s, s + 1) for s in range(n_dev - 1)]
+
+        def local(re, im, c_r, c_i):
+            i = jax.lax.axis_index(axes)
+            tail_r = jax.lax.ppermute(re[-h2:], axes, perm)
+            tail_i = jax.lax.ppermute(im[-h2:], axes, perm)
+            prev = (jnp.where(i == 0, c_r, tail_r),
+                    jnp.where(i == 0, c_i, tail_i))
+            pairs, (nr, ni) = backend((re, im), prev)
+            new_c_r = jax.lax.psum(jnp.where(i == n_dev - 1, nr, 0), axes)
+            new_c_i = jax.lax.psum(jnp.where(i == n_dev - 1, ni, 0), axes)
+            return pairs, new_c_r, new_c_i
+
+        spec = P(axes)
+        pairs, cr, ci = jax.shard_map(
+            local, mesh=mesh, in_specs=(spec, spec, P(), P()),
+            out_specs=(spec, P(), P()), check_vma=False)(
+                planes[0], planes[1], carry[0], carry[1])
+        return pairs, (cr, ci)
+
+    return sharded
+
+
 class ShardedModulator:
     """Runs a Modulator data-parallel over the TF axis of a device mesh.
 
@@ -176,10 +215,9 @@ class ShardedModulator:
         # collective payload than the auto-SPMD partition of the concat
         # formulation -- see make_sharded_time_interleave)
         modulator._time_interleave = make_sharded_time_interleave(mesh)
-        # the fused Pallas resampler works on the flat sample stream of
-        # the whole batch; under a mesh fall back to the XLA polyphase
-        # (auto-SPMD partitions its banded matmul; same plan, same output)
-        modulator._res_backend = None
+        if modulator._res_backend is not None:
+            modulator._res_backend = shard_resampler_backend(
+                modulator._res_backend, mesh, modulator._poly_plan.half)
         self.m = modulator
         self.mesh = mesh
         # shard the leading (ETI frame / TF) axis over ALL mesh axes --

@@ -150,3 +150,31 @@ def test_sharded_time_interleave_minimal_halo(setup):
         s2, g2 = f(jax.device_put(bits2, shard), g1)
         for a, b in ((o1, s1), (h1, g1), (o2, s2), (h2, g2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_fused_resampler_matches_unsharded(setup):
+    """The fused Pallas resampler must run under the mesh via shard_map
+    (per-shard carry, ppermute boundary history) and stream-match the
+    unsharded kernel across batches."""
+    _, batch = setup
+    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    layout = make_default_layout(1, subch_specs=specs)
+    m = Modulator(layout, ModSettings(dab_mode=1, output_rate=4_096_000,
+                                      ofdm_backend="pallas-interpret"))
+    assert m._res_backend is not None
+    raw = synth_eti_batch(16 * 4, mode=1, subch_specs=specs, seed=5)
+    b1 = parse_eti_frames(raw[:32])
+    b2 = parse_eti_frames(raw[32:])
+    st = m.init_state()
+    r1, st, _ = m.modulate_eti(b1, st)
+    r2, st, _ = m.modulate_eti(b2, st)
+
+    sm = ShardedModulator(m, make_mesh(8))
+    assert sm.m._res_backend is not None and sm.m._res_backend \
+        is not m._res_backend
+    s = sm.init_state()
+    s1, s, _ = sm.modulate(b1.fic, tuple(b1.subchannels), s)
+    s2, s, _ = sm.modulate(b2.fic, tuple(b2.subchannels), s)
+    for a, b in ((r1, s1), (r2, s2)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert float(d.max()) < 0.05, float(d.max())   # sub-wire-LSB
