@@ -190,3 +190,38 @@ def test_tcp_reader_waits_for_server():
     th.join(timeout=10)
     assert sum(len(b) for b in got) == 4
     reader.close()
+
+
+def test_tcp_mux_restart_with_fct_reset(tmp_path):
+    """A restarted multiplexer begins again at FCT 0: the runtime must
+    take the discontinuity restart (AGAIN) and keep transmitting, exactly
+    like the reference's supervisor (src/DabMod.cpp:694-707)."""
+    first = synth_eti_batch(16, mode=1)
+    second = synth_eti_batch(16, mode=1, seed=2)   # fresh stream, FCT 0
+    srv, port = _listener()
+    rt = _runtime(tmp_path, port, 32)
+
+    def server():
+        conn, _ = srv.accept()
+        conn.sendall(first.tobytes())
+        conn.close()
+        srv.close()
+        time.sleep(0.5)
+        s2 = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s2.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s2.bind(("127.0.0.1", port))
+        s2.listen(1)
+        conn2, _ = s2.accept()
+        conn2.sendall(second.tobytes())
+        time.sleep(1.0)
+        conn2.close()
+        s2.close()
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+    rc = _drive(rt, 32)
+    th.join(timeout=10)
+    assert rt.framecount >= 32
+    assert rt.num_restarts >= 1         # FCT discontinuity restart taken
+    assert rc == 0
+    rt.close()
