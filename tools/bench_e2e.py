@@ -15,7 +15,7 @@ On a directly-attached TPU host the same path rides PCIe-class DMA
 (>10 GB/s), where this pipeline's non-transfer work (parse 0.5 ms + dispatch
 3 ms per 24-TF batch, all overlapped) supports >1000x real-time.
 
-Writes BENCH_r03_e2e.json to the repo root.
+Writes BENCH_r04_e2e.json to the repo root (or --json PATH).
 """
 import json
 import os
@@ -164,7 +164,9 @@ def main():
     results["file_u8"]["pipeline_efficiency"] = round(
         results["file_u8"]["x_realtime"] / ceil_u8, 3)
 
-    out = os.path.join(REPO, "BENCH_r03_e2e.json")
+    out = os.path.join(REPO, "BENCH_r04_e2e.json")
+    if "--json" in sys.argv:
+        out = sys.argv[sys.argv.index("--json") + 1]
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
         f.write("\n")
