@@ -43,6 +43,14 @@ def build_settings(argv) -> ModSettings:
                     help="loop input file")
     ap.add_argument("-b", dest="batch_tf", type=int, default=None,
                     help="transmission frames per device batch")
+    ap.add_argument("-c", dest="clock_rate", type=int, default=None,
+                    help="FPGA clock rate for the CIC equalizer "
+                    "(ref: -c, src/ConfigParser.cpp:511-513)")
+    ap.add_argument("-u", dest="uhd_device", default=None,
+                    help="UHD output with the given device string "
+                    "(ref: -u; mutually exclusive with -f)")
+    ap.add_argument("-G", dest="txgain", type=float, default=None,
+                    help="SDR TX gain (ref: -G)")
     ap.add_argument("-V", action="version", version="dabmod-tpu 0.1.0")
     args = ap.parse_args(argv)
 
@@ -52,7 +60,8 @@ def build_settings(argv) -> ModSettings:
                        and all(v is None for v in (
                            args.digital_gain, args.output_file, args.format,
                            args.gainmode, args.mode, args.tist_offset,
-                           args.rate, args.taps_file))
+                           args.rate, args.taps_file, args.clock_rate,
+                           args.uhd_device, args.txgain))
                        and not args.loop
                        and not str(args.input).startswith("tcp://")
                        and (args.input.endswith(".ini")))
@@ -73,8 +82,19 @@ def build_settings(argv) -> ModSettings:
     if args.digital_gain is not None:
         s.digital_gain = args.digital_gain
     if args.output_file is not None:
+        if args.uhd_device is not None:
+            # ref: src/ConfigParser.cpp:516-520, 564-567
+            raise SystemExit("Options -u and -f are mutually exclusive")
         s.output = "file"
         s.output_name = args.output_file
+    if args.uhd_device is not None:
+        s.output = "uhd"
+        s.sdr_device_args = args.uhd_device
+        s.sdr_refclk_src = "internal"
+    if args.txgain is not None:
+        s.sdr_txgain = args.txgain
+    if args.clock_rate is not None:
+        s.cic_eq_clock_rate = args.clock_rate
     if args.format is not None:
         s.file_output_format = args.format
     if args.gainmode is not None:

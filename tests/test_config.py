@@ -239,3 +239,15 @@ def test_delaymanagement_invalid_management(tmp_path):
 def test_delaymanagement_fixed_needs_fixedoffset(tmp_path):
     with pytest.raises(ValueError, match="needs fixedoffset"):
         parse_ini(_delay_ini(tmp_path, "synchronous=1\nmanagement=fixed"))
+
+
+def test_cli_reference_flags():
+    """-c / -u / -G parity with the reference getopt
+    (src/ConfigParser.cpp:503-580)."""
+    s = build_settings(["in.eti", "-u", "type=b200", "-G", "55.5",
+                       "-c", "400000000"])
+    assert s.output == "uhd" and s.sdr_device_args == "type=b200"
+    assert s.sdr_txgain == 55.5
+    assert s.cic_eq_clock_rate == 400_000_000
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        build_settings(["in.eti", "-u", "x", "-f", "out.iq"])
