@@ -14,7 +14,7 @@ import dataclasses
 
 import numpy as np
 
-from .tables import SubchannelParams, mode_params
+from .tables import SubchannelParams
 
 ETI_NI_FRAME = 6144
 SYNC_WORDS = (0x49C5F8FF, 0xB63A07FF)

@@ -17,9 +17,6 @@ parallel over the TF axis, which is also the multi-chip sharding axis.
 """
 from __future__ import annotations
 
-import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -29,7 +29,6 @@ import time
 
 import numpy as np
 
-from . import tables
 from .config import ModSettings
 from .eti import EnsembleReconfigured, EtiError, parse_eti_frames
 from .io.outputs import open_output
