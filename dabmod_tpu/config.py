@@ -181,6 +181,8 @@ def parse_ini(path: str) -> ModSettings:
     s.input_transport = get("input", "transport", "file")
     s.input_name = get("input", "source", "/dev/stdin")
     s.loop = getbool("input", "loop", False)
+    s.tcp_timeout = getfloat("input", "tcp_timeout", 8.0)
+    s.tcp_reconnect_delay = getfloat("input", "tcp_reconnect_delay", 1.0)
 
     s.dab_mode = getint("modulator", "mode", 0)
     s.digital_gain = getfloat("modulator", "digital_gain", 1.0)
