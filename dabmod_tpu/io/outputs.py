@@ -66,9 +66,20 @@ class FileOutput:
         self._fct_step = None
 
     def write(self, iq, metadata=None) -> None:
-        data, n_clipped = serialize_iq_count(iq, self.fmt)
-        self.num_clipped_samples = n_clipped
-        self.f.write(data)
+        x = np.asarray(iq)
+        if np.issubdtype(x.dtype, np.integer) or (
+                x.dtype == np.float32
+                and self.fmt in ("complexf", "complexf_normalised", "f32",
+                                 "")):
+            # already wire bytes (device-side conversion / f32 pairs):
+            # stream straight from the array buffer -- tobytes() would
+            # copy the whole batch twice
+            np.ascontiguousarray(x).tofile(self.f)
+            self.num_clipped_samples = 0
+        else:
+            data, n_clipped = serialize_iq_count(x, self.fmt)
+            self.num_clipped_samples = n_clipped
+            self.f.write(data)
         if self.show_metadata and metadata is not None:
             entries = metadata if isinstance(metadata, list) else [metadata]
             if len(entries) >= 2:
