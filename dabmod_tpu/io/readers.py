@@ -218,6 +218,7 @@ class EtiTcpReader:
         self._buf = b""
         self._last_rx: float | None = None
         self._closed = False
+        self._outage = False
         self.reconnects = 0
         self._connect()
 
@@ -244,7 +245,12 @@ class EtiTcpReader:
             self.sock = None
 
     def _reconnect(self, why: str) -> None:
-        log.info("TCP input auto reconnect (%s)", why)
+        # first attempt of an outage at INFO, the retry storm at DEBUG
+        # (the reference logs every attempt at debug,
+        # src/InputTcpReader.cpp:77-78)
+        level = logging.DEBUG if self._outage else logging.INFO
+        log.log(level, "TCP input auto reconnect (%s)", why)
+        self._outage = True
         self.reconnects += 1
         time.sleep(self.reconnect_delay)
         if not self._closed:
@@ -264,6 +270,9 @@ class EtiTcpReader:
                     break
                 self._buf += chunk
                 self._last_rx = time.monotonic()
+                if self._outage:
+                    log.info("TCP input reconnected, stream resumed")
+                    self._outage = False
         except socket.timeout:
             if (self._last_rx is not None
                     and time.monotonic() - self._last_rx
