@@ -302,3 +302,39 @@ def test_kiss_engine_rejects_float_only_stages():
         with pytest.raises(ValueError, match="fixed point"):
             Modulator(layout, ModSettings(dab_mode=1, fft_engine="kiss",
                                           **kw))
+
+
+@pytest.mark.parametrize("mode", [2, 3, 4])
+def test_kiss_configuration_other_modes(mode):
+    """fft_engine=kiss for TM-II/III/IV: the integer chain must sit at the
+    KISS quantisation floor against the float chain (the TM-I golden pins
+    bit-exactness; this pins the other spacings' mixed-radix plans)."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
+    from dabmod_tpu.models import Modulator, make_default_layout
+
+    layout = make_default_layout(mode)
+    mk = Modulator(layout, ModSettings(dab_mode=mode, fft_engine="kiss"))
+    p = mk.p
+    batch = parse_eti_frames(synth_eti_batch(2 * p.cif_count, mode=mode))
+    out, _, _ = mk.modulate(batch.fic, tuple(batch.subchannels),
+                            mk.init_state())
+    wire = np.asarray(out).view(np.int16).astype(np.float32) / 16384.0
+
+    mf = Modulator(layout, ModSettings(dab_mode=mode))
+    iq, _, _ = mf.modulate(batch.fic, tuple(batch.subchannels),
+                           mf.init_state())
+    # float chain equivalent of the kiss scaling: unnormalised IFFT/N
+    # (the float path applied var gain; rebuild without it)
+    s = ModSettings(dab_mode=mode, gain_mode=0, digital_gain=1.0)
+    from dabmod_tpu.ops.ofdm import GAIN_FIX
+    s.gain_mode = GAIN_FIX
+    s.normalise = 16384.0 / (512.0 * p.spacing)
+    mg = Modulator(layout, s)
+    iqf, _, _ = mg.modulate(batch.fic, tuple(batch.subchannels),
+                            mg.init_state())
+    ref = np.asarray(iqf).reshape(-1) / 16384.0
+    mine = wire.reshape(-1)
+    err = mine - ref
+    mer = 10 * np.log10((ref ** 2).sum() / (err ** 2).sum())
+    assert mer >= 45.0, f"TM-{mode} kiss MER {mer:.1f} dB"
