@@ -342,10 +342,10 @@ class Modulator:
                 else:
                     iq_i = kiss_fixed.guard_interval_windowed_fixed(
                         td_i, p.null_size, p.sym_size, ov)
-            with jax.named_scope("interleave_out"):
-                out = cplx.planes_to_pairs(iq_i)        # [B, N, 2] int32
-                out = out.astype(jnp.int16)             # Q1.14 wire
-                out = jax.lax.bitcast_convert_type(out, jnp.int32)
+            with jax.named_scope("format_convert"):
+                # Q1.14 int planes -> packed i32 wire words, byte-identical
+                # to interleaved s16 pairs, with no layout pass
+                out = (iq_i[1] << 16) | (iq_i[0] & 0xFFFF)
             new_state = {"ti_history": new_hist,
                          "tf_index": state["tf_index"] + B}
             # the reference's kiss chain has no FormatConverter (and so
@@ -443,22 +443,16 @@ class Modulator:
         new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B, **mer_state}
 
-        out_pairs = None
         if self._poly_plan:
             with jax.named_scope("resampler"):
                 flat = cplx.pmap(lambda x: x.reshape(-1), iq)
                 if self._res_backend is not None:
-                    # fused kernel emits the interleaved pair stream
-                    # directly; no separate planes->pairs pass
-                    pairs, carry = self._res_backend(
-                        flat, state["res_carry"])
-                    new_state["res_carry"] = carry
-                    out_pairs = pairs.reshape(B, -1, 2)
+                    y, carry = self._res_backend(flat, state["res_carry"])
                 else:
                     y, carry = filters.resample_poly(
                         flat, self._poly_plan, state["res_carry"])
-                    new_state["res_carry"] = carry
-                    iq = cplx.pmap(lambda x: x.reshape(B, -1), y)
+                new_state["res_carry"] = carry
+                iq = cplx.pmap(lambda x: x.reshape(B, -1), y)
         elif self._res_plan:
             with jax.named_scope("resampler"):
                 # rare decimation path: the pair-domain freq resampler
@@ -473,33 +467,33 @@ class Modulator:
 
         if self._poly_am is not None or self._lut is not None:
             with jax.named_scope("dpd"):
-                if out_pairs is not None:        # pair-domain (fused path)
-                    if self._poly_am is not None:
-                        out_pairs = filters.memless_poly_pairs(
-                            out_pairs, self._poly_am, self._poly_pm)
-                    else:
-                        out_pairs = filters.memless_lut_pairs(
-                            out_pairs, self._lut, self._lut_scale)
-                elif self._poly_am is not None:
+                if self._poly_am is not None:
                     iq = filters.memless_poly(
                         iq, self._poly_am, self._poly_pm)
                 else:
                     iq = filters.memless_lut(iq, self._lut, self._lut_scale)
 
+        if self._wire_fmt == "s16":
+            with jax.named_scope("format_convert"):
+                # planes pack straight into i32 wire words (byte-identical
+                # to interleaved int16 pairs): the planes->pairs layout
+                # pass vanishes into integer arithmetic, and the D2H copy
+                # takes the fast 32-bit path
+                out, n_clip = filters.pack_s16_planes(iq[0], iq[1])
+                stats["num_clipped"] = n_clip
+            return out, new_state, stats
+
         with jax.named_scope("interleave_out"):
-            out = (out_pairs if out_pairs is not None
-                   else cplx.planes_to_pairs(iq))  # [B, N, 2] wire form
+            out = cplx.planes_to_pairs(iq)       # [B, N, 2] wire form
         if self._wire_fmt is not None:
             with jax.named_scope("format_convert"):
                 out, n_clip = filters.format_convert(out, self._wire_fmt)
                 stats["num_clipped"] = n_clip
                 # pack the narrow integer stream into i32 wire words: the
-                # byte stream is unchanged (little-endian pairs/quads) but
-                # the D2H copy takes the fast 32-bit path (the tunnelled
+                # byte stream is unchanged (little-endian quads) but the
+                # D2H copy takes the fast 32-bit path (the tunnelled
                 # runtime moves sub-32-bit types ~100x slower)
-                if out.dtype == jnp.int16:
-                    out = jax.lax.bitcast_convert_type(out, jnp.int32)
-                elif out.dtype in (jnp.uint8, jnp.int8):
+                if out.dtype in (jnp.uint8, jnp.int8):
                     out = jax.lax.bitcast_convert_type(
                         out.reshape(*out.shape[:-2], -1, 4), jnp.int32)
         return out, new_state, stats

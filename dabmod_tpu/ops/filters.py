@@ -310,37 +310,6 @@ def memless_poly(x, coefs_am: jnp.ndarray, coefs_pm: jnp.ndarray):
     return cplx.pmul((x[0] * am, x[1] * am), (rot_r, rot_i))
 
 
-def memless_poly_pairs(x: jnp.ndarray, coefs_am: jnp.ndarray,
-                       coefs_pm: jnp.ndarray) -> jnp.ndarray:
-    """memless_poly on interleaved pairs [..., 2] (the fused resampler
-    kernel's output layout).  All ops are elementwise over the same
-    iteration space, so XLA fuses the slice/compute/stack into one pass
-    over the pair array -- no plane de-interleave round trip."""
-    re, im = x[..., 0], x[..., 1]
-    m = re * re + im * im
-    am = coefs_am[0] + m * (coefs_am[1] + m * (coefs_am[2] + m * (
-        coefs_am[3] + m * coefs_am[4])))
-    pm = -(coefs_pm[0] + m * (coefs_pm[1] + m * (coefs_pm[2] + m * (
-        coefs_pm[3] + m * coefs_pm[4]))))
-    p2 = pm * pm
-    rot_r = 1.0 - p2 * (-0.5 + p2 * (0.486666 + p2 * (-0.00138888)))
-    rot_i = pm * (1.0 + p2 * (0.166666 + p2 * 0.00833333))
-    ar, ai = re * am, im * am
-    return jnp.stack([ar * rot_r - ai * rot_i,
-                      ar * rot_i + ai * rot_r], axis=-1)
-
-
-def memless_lut_pairs(x: jnp.ndarray, lut: jnp.ndarray,
-                      scalefactor: float) -> jnp.ndarray:
-    """memless_lut on interleaved pairs [..., 2]."""
-    re, im = x[..., 0], x[..., 1]
-    mag = jnp.sqrt(re * re + im * im)
-    scaled = jnp.clip(jnp.round(mag * scalefactor), 0, 2.0**32 - 1)
-    ix = jnp.clip((scaled / float(1 << 27)).astype(jnp.int32), 0, 31)
-    lr, li = lut[ix, 0], lut[ix, 1]
-    return jnp.stack([re * lr - im * li, re * li + im * lr], axis=-1)
-
-
 def memless_lut(x, lut: jnp.ndarray, scalefactor: float):
     """32-entry magnitude-binned LUT predistorter
     (ref: src/MemlessPoly.cpp:278-309).  lut: [32, 2] pairs."""
@@ -402,6 +371,24 @@ def format_convert(x: jnp.ndarray, fmt: str):
         n = (x != clipped).sum(dtype=jnp.int32)
         return jnp.trunc(clipped).astype(jnp.int8), n
     raise ValueError(f"invalid output format {fmt}")
+
+
+def pack_s16_planes(re: jnp.ndarray, im: jnp.ndarray):
+    """s16 wire conversion of (re, im) planes straight into packed i32
+    words -- (im << 16) | (re & 0xffff) is byte-identical (little endian)
+    to interleaving int16 pairs, so the planes->pairs layout pass
+    disappears into integer arithmetic.  Same saturation/truncation
+    semantics as format_convert's s16 branch (C-cast truncation,
+    src/FormatConverter.cpp:62-206).  Returns (words i32, n_clipped)."""
+    def cvt(x):
+        clipped = jnp.clip(x, -32768.0, 32767.0)
+        n = (x != clipped).sum(dtype=jnp.int32)
+        return jnp.trunc(clipped).astype(jnp.int32), n
+
+    re_i, n_re = cvt(re)
+    im_i, n_im = cvt(im)
+    words = (im_i << 16) | (re_i & 0xFFFF)
+    return words, n_re + n_im
 
 
 # ---------------------------------------------------------------------------

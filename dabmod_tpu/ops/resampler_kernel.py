@@ -18,13 +18,18 @@ This kernel removes all three costs structurally:
 
       y[i] = x2d[i] @ A + x2d[i+1] @ B          A,B: [128, out_block]
 
-* **fused interleave** -- both planes' output tiles are produced in VMEM
-  and written once as the interleaved pair stream [nb, 2*out_block]
-  (bitcast to [N_out, 2]); the planes never round-trip through HBM.
-
 * **HIGH-precision emulation** -- Mosaic lowers only DEFAULT/HIGHEST dot
   precision, so the pipeline's 3-pass bf16 scheme (jax.lax.Precision.HIGH)
   is emulated by hi/lo bfloat16 splitting, as in ops.ofdm_kernel._cmm.
+
+The kernel emits (re, im) planes: Mosaic has no legal minor-dim
+interleave (stack+reshape, strided lane stores and lane-repeat all fail
+to lower -- and a failed kernel compile wedges the axon tunnel's remote
+helper for hours).  For s16 wire outputs the interleave is free anyway:
+the modulator packs planes into i32 wire words with pure integer
+arithmetic ((im<<16)|(re&0xffff), ops.filters.pack_s16_planes); only the
+f32-pairs contract pays a planes->pairs pass, which XLA already runs at
+the HBM round-trip floor.
 
 Same role as the reference's frequency-domain fractional resampler
 (src/Resampler.cpp:51-195); the TPU-first windowed-sinc formulation and its
@@ -72,10 +77,10 @@ def supports(plan) -> bool:
 def build_resampler_backend(plan, precision=None, interpret: bool = False):
     """Build the fused backend for a PolyphasePlan with block == 128.
 
-    Returns apply(planes, carry) -> (pairs, new_carry) where planes is a
-    (re, im) tuple of flat [N] float32 streams (N a multiple of 128), carry
-    a (re, im) tuple of [2*half] input-history planes, and pairs the
-    interleaved resampled stream [N * L/M, 2] float32.
+    Returns apply(planes, carry) -> (out_planes, new_carry) where planes
+    is a (re, im) tuple of flat [N] float32 streams (N a multiple of 128)
+    and carry a (re, im) tuple of [2*half] input-history planes; the
+    resampled output is a (re, im) tuple of flat [N * L/M] streams.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -97,12 +102,10 @@ def build_resampler_backend(plan, precision=None, interpret: bool = False):
                       preferred_element_type=jnp.float32)
 
     def kernel(base_r_ref, halo_r_ref, base_i_ref, halo_i_ref,
-               a_ref, b_ref, out_ref):
+               a_ref, b_ref, out_r_ref, out_i_ref):
         a, b = a_ref[:], b_ref[:]
-        yr = dot(base_r_ref[:], a) + dot(halo_r_ref[:], b)   # [R, ob]
-        yi = dot(base_i_ref[:], a) + dot(halo_i_ref[:], b)
-        # interleave in VMEM; the single HBM write is the pair stream
-        out_ref[:] = jnp.stack([yr, yi], axis=-1).reshape(yr.shape[0], -1)
+        out_r_ref[:] = dot(base_r_ref[:], a) + dot(halo_r_ref[:], b)
+        out_i_ref[:] = dot(base_i_ref[:], a) + dot(halo_i_ref[:], b)
 
     def apply(planes, carry):
         re, im = planes
@@ -127,16 +130,18 @@ def build_resampler_backend(plan, precision=None, interpret: bool = False):
                                  memory_space=pltpu.VMEM)
         op_spec = pl.BlockSpec((LANES, ob), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
+        out_spec = pl.BlockSpec((rows, ob), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        yr, yi = pl.pallas_call(
             kernel,
             grid=(nb // rows,),
             in_specs=[data_spec, data_spec, data_spec, data_spec,
                       op_spec, op_spec],
-            out_specs=pl.BlockSpec((rows, 2 * ob), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nb, 2 * ob), jnp.float32),
+            out_specs=[out_spec, out_spec],
+            out_shape=[jax.ShapeDtypeStruct((nb, ob), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, ob), jnp.float32)],
             interpret=interpret,
         )(base_r, halo_r, base_i, halo_i, np.asarray(a_np), np.asarray(b_np))
-        return out.reshape(-1, 2), (carry_r, carry_i)
+        return (yr.reshape(-1), yi.reshape(-1)), (carry_r, carry_i)
 
     return apply

@@ -174,17 +174,17 @@ def shard_resampler_backend(backend, mesh: Mesh, half: int):
             tail_i = jax.lax.ppermute(im[-h2:], axes, perm)
             prev = (jnp.where(i == 0, c_r, tail_r),
                     jnp.where(i == 0, c_i, tail_i))
-            pairs, (nr, ni) = backend((re, im), prev)
+            (yr, yi), (nr, ni) = backend((re, im), prev)
             new_c_r = jax.lax.psum(jnp.where(i == n_dev - 1, nr, 0), axes)
             new_c_i = jax.lax.psum(jnp.where(i == n_dev - 1, ni, 0), axes)
-            return pairs, new_c_r, new_c_i
+            return yr, yi, new_c_r, new_c_i
 
         spec = P(axes)
-        pairs, cr, ci = jax.shard_map(
+        yr, yi, cr, ci = jax.shard_map(
             local, mesh=mesh, in_specs=(spec, spec, P(), P()),
-            out_specs=(spec, P(), P()), check_vma=False)(
+            out_specs=(spec, spec, P(), P()), check_vma=False)(
                 planes[0], planes[1], carry[0], carry[1])
-        return pairs, (cr, ci)
+        return (yr, yi), (cr, ci)
 
     return sharded
 

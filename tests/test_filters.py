@@ -217,24 +217,25 @@ def test_resampler_kernel_matches_xla_polyphase():
         re = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         im = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         z = (jnp.zeros((h2,), jnp.float32),) * 2
-        pairs, carry = jax.jit(apply)((re, im), z)
+        (kr, ki), carry = jax.jit(apply)((re, im), z)
+        got = np.stack([np.asarray(kr), np.asarray(ki)], -1)
         (yr, yi), c2 = jax.jit(
             lambda p, c: resample_poly(p, plan, c))((re, im), z)
         ref = np.stack([np.asarray(yr), np.asarray(yi)], -1)
         # the kernel emulates Precision.HIGH by hi/lo bf16 splitting;
         # vs XLA's own HIGH this differs by ~2e-5 absolute on O(1) data
         # (~0.6 s16 wire LSB at full scale)
-        np.testing.assert_allclose(np.asarray(pairs), ref,
-                                   rtol=1e-3, atol=5e-5)
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=5e-5)
         np.testing.assert_allclose(np.asarray(carry[0]), np.asarray(c2[0]))
 
         # streaming: two half-stream calls == one full call
         half = n // 2
-        p1, c1 = jax.jit(apply)((re[:half], im[:half]), z)
-        p2, _ = jax.jit(apply)((re[half:], im[half:]), c1)
-        both = np.concatenate([np.asarray(p1), np.asarray(p2)])
-        np.testing.assert_allclose(both, np.asarray(pairs),
-                                   rtol=1e-6, atol=1e-6)
+        (r1, i1), c1 = jax.jit(apply)((re[:half], im[:half]), z)
+        (r2, i2), _ = jax.jit(apply)((re[half:], im[half:]), c1)
+        both = np.stack([np.concatenate([np.asarray(r1), np.asarray(r2)]),
+                         np.concatenate([np.asarray(i1), np.asarray(i2)])],
+                        -1)
+        np.testing.assert_allclose(both, got, rtol=1e-6, atol=1e-6)
 
 
 def test_modulator_fused_resampler_matches_xla(tmp_path):
