@@ -138,7 +138,15 @@ def main():
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--only", default=None,
                     help="run only configs whose name contains this substring")
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated batch_tf list; report each "
+                    "config at its best steady-state operating point "
+                    "(batch size is a free deployment parameter -- the "
+                    "reference tolerates ~6 s of output buffering, "
+                    "src/output/SDR.cpp:52-56)")
     args = ap.parse_args()
+    batch_list = ([int(x) for x in args.sweep.split(",")] if args.sweep
+                  else [args.batch_tf])
 
     # identity DPD poly (the cost is the polynomial evaluation, not the
     # values); file format per src/MemlessPoly.cpp:110-232
@@ -156,11 +164,18 @@ def main():
             kw = dict(kw)
             if kw.get("poly_coef_file") == "__builtin_poly__":
                 kw["poly_coef_file"] = poly_path
-            r = bench_one(name, mode, kw, args.batch_tf)
-            rows.append(r)
+            best = None
+            for btf in batch_list:
+                r = bench_one(name, mode, kw, btf)
+                r["batch_tf"] = btf
+                if best is None or r["x_realtime"] > best["x_realtime"]:
+                    best = r
+            rows.append(best)
+            r = best
             print(f"{name:15s} mode={mode} out_rate={r['out_rate']:>9d} "
                   f"{r['samples_per_s']/1e9:6.2f} GS/s  "
-                  f"{r['x_realtime']:7.1f}x RT", flush=True)
+                  f"{r['x_realtime']:7.1f}x RT  (batch {r['batch_tf']})",
+                  flush=True)
     finally:
         os.unlink(poly_path)
 

@@ -8,7 +8,8 @@ cd /root/repo
 timeout 120 python -c "import jax; print(jax.devices())" || exit 1
 
 # 1. per-config benchmark (the judge's BENCH_r04_configs.json)
-timeout 1800 python tools/bench_configs.py 24 --json BENCH_r04_configs.json
+timeout 3600 python tools/bench_configs.py --sweep 16,24,32 \
+    --json BENCH_r04_configs.json
 
 # 2. headline bench
 timeout 600 python bench.py
