@@ -265,3 +265,24 @@ def test_modulator_fused_resampler_matches_xla(tmp_path):
     # bound: one s16 wire LSB at the 32767-scale output
     d = np.abs(np.asarray(iq_fus) - np.asarray(iq_ref))
     assert float(d.max()) < 1.0, float(d.max())
+
+
+def test_pack_s16_planes_matches_format_convert():
+    """(im<<16)|(re&0xffff) must be byte-identical to converting
+    interleaved pairs with format_convert s16 (incl. saturation,
+    truncation toward zero, and the clip count)."""
+    from dabmod_tpu.ops.filters import format_convert, pack_s16_planes
+    rng = np.random.default_rng(11)
+    re = (rng.standard_normal(4096) * 20000).astype(np.float32)
+    im = (rng.standard_normal(4096) * 20000).astype(np.float32)
+    # force saturation and exact-boundary cases
+    re[:8] = [40000.0, -40000.0, 32767.4, -32768.4, 0.5, -0.5,
+              32767.0, -32768.0]
+    im[:8] = [-50000.0, 50000.0, 1.9, -1.9, 0.0, -0.0, 123.7, -123.7]
+    words, n_clip = jax.jit(pack_s16_planes)(jnp.asarray(re),
+                                             jnp.asarray(im))
+    pairs = jnp.asarray(np.stack([re, im], -1))
+    conv, n_ref = jax.jit(lambda x: format_convert(x, "s16"))(pairs)
+    np.testing.assert_array_equal(
+        np.asarray(words).view(np.int16).reshape(-1, 2), np.asarray(conv))
+    assert int(n_clip) == int(n_ref)
