@@ -416,8 +416,12 @@ class LimeDevice(SdrDevice):
                        ts: FrameTimestamp | None):
         """Untimed FIFO send with per-call stream-status accounting
         (ref: src/output/Lime.cpp:386-451)."""
-        flat = np.ascontiguousarray(samples, np.float32).reshape(-1)
-        buf = self._s16_from_float(flat)
+        if np.issubdtype(samples.dtype, np.integer):
+            from .sdr import sc16_pairs
+            buf = np.ascontiguousarray(sc16_pairs(samples).reshape(-1))
+        else:
+            flat = np.ascontiguousarray(samples, np.float32).reshape(-1)
+            buf = self._s16_from_float(flat)
         num_samples = buf.shape[0] // 2
 
         status = self._lms.get_stream_status(self._stream)

@@ -170,6 +170,11 @@ class SoapyDevice(SdrDevice):
                        ts: FrameTimestamp | None):
         """MTU-chunked writeStream loop with timeNs advance and
         EOB-deactivate (ref: src/output/Soapy.cpp:276-368)."""
+        if np.issubdtype(samples.dtype, np.integer):
+            # kiss / device-converted frames arrive as packed s16
+            # wire words; this driver streams fc32
+            from .sdr import sc16_pairs
+            samples = sc16_pairs(samples).astype(np.float32)
         flat = np.ascontiguousarray(samples, np.float32).reshape(-1, 2)
         cplx = flat.view(np.complex64).reshape(-1)
         n = cplx.shape[0]

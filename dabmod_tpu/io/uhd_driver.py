@@ -378,6 +378,11 @@ class UhdDevice(SdrDevice):
                        ts: FrameTimestamp | None):
         """Timed send loop with per-packet time_spec advance and EOB on
         timestamp refresh / muting (ref: UHD.cpp:314-375)."""
+        if np.issubdtype(samples.dtype, np.integer):
+            # kiss / device-converted frames arrive as packed s16
+            # wire words; this driver streams fc32
+            from .sdr import sc16_pairs
+            samples = sc16_pairs(samples).astype(np.float32)
         flat = np.ascontiguousarray(samples, np.float32).reshape(-1, 2)
         cplx = flat.view(np.complex64).reshape(-1)
         n = cplx.shape[0]
