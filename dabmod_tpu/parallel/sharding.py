@@ -3,10 +3,10 @@
 The reference is a single-process pipeline (SURVEY.md section 2.7); the only
 couplings along the time axis are the 16-CIF time-interleaver history and the
 resampler overlap carries (SURVEY.md section 5 "long-context").  Sharding the
-TF batch axis therefore needs only a 15-CIF halo at shard boundaries, which
-XLA's SPMD partitioner materialises as a collective-permute from the
-take_along_axis in ops.fec.time_interleave.  Mode tables are replicated
-device constants.
+TF batch axis therefore needs only a 15-CIF halo at shard boundaries,
+exchanged explicitly by the minimal-halo shard_map formulations here
+(make_sharded_time_interleave, shard_resampler_backend; measured in
+ARCHITECTURE.md section 6).  Mode tables are replicated device constants.
 """
 from __future__ import annotations
 
