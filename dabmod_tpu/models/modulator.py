@@ -149,6 +149,9 @@ class Modulator:
             if backend_rs == "auto":
                 backend_rs = ("pallas" if jax.default_backend() == "tpu"
                               else "xla")
+            import os
+            if os.environ.get("DABMOD_DISABLE_RESAMPLER_KERNEL"):
+                backend_rs = "xla"        # ops kill-switch
             if backend_rs in ("pallas", "pallas-interpret") \
                     and 128 % self._poly_plan.M == 0:
                 from ..ops import resampler_kernel
