@@ -44,7 +44,10 @@ def main():
     # 128 kbit/s level 3), TM-I, default var gain -- BASELINE configs[0]
     specs = ((0, 24, 0x22), (48, 48, 0x02))
     layout = make_default_layout(1, subch_specs=specs)
-    m = Modulator(layout, ModSettings(dab_mode=1))
+    # production contract: f32 outputs are (re, im) planes; the runtime
+    # writer interleaves host-side at the wire boundary (the same split as
+    # the reference's CPU FormatConverter; see config.device_interleave)
+    m = Modulator(layout, ModSettings(dab_mode=1, device_interleave=False))
     p = tables.mode_params(1)
 
     # pre-stage a few distinct input batches on device (host ETI parsing is
@@ -66,7 +69,8 @@ def main():
     def impl(fic, subs, state, cg, vk):
         iq, st, stats = m._modulate_impl(fic, subs, state, cg, vk)
         # tiny readback probe; iq itself stays a real (materialised) output
-        return iq, jnp.sum(iq[:, 0, 0]), st
+        probe = jnp.sum(iq[0][:, 0]) + jnp.sum(iq[1][:, 0])
+        return iq, probe, st
 
     step = jax.jit(impl, donate_argnums=(2,))
 

@@ -104,6 +104,14 @@ class ModSettings:
     # convert to the wire format (s16/u8/s8) on-device: halves or quarters
     # the device->host transfer and offloads the host converter
     device_format_conversion: bool = True
+    # interleave re/im into [., 2] pairs on device for f32 outputs.  False
+    # returns (re, im) planes and moves the interleave to the host writer
+    # thread -- the same boundary where the reference's CPU FormatConverter
+    # assembles wire bytes.  XLA's minor-axis stack costs ~4x the HBM
+    # round-trip floor (~1 ms per 24-TF batch at 8.192 MS/s), while the
+    # host memcpy-interleave is ~3% of the real-time budget and fully
+    # overlapped; integer wire formats never need this (pack_s16_planes).
+    device_interleave: bool = True
     fft_precision: str = "high"          # MXU precision: default|high|highest
     show_process_time: bool = True
 

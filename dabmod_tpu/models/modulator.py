@@ -216,6 +216,11 @@ class Modulator:
                 precision=fft_mod._PRECISION,
                 interpret=(backend == "pallas-interpret"))
 
+        # f32 planes contract (see config.device_interleave): the runtime
+        # writer interleaves pairs host-side at memcpy speed
+        self.emits_planes = (self._wire_fmt is None
+                             and not s.device_interleave and not self._kiss)
+
         # swappable time-interleaver implementation: ShardedModulator
         # substitutes the minimal-halo shard_map form under a mesh
         # (parallel/sharding.make_sharded_time_interleave)
@@ -446,16 +451,23 @@ class Modulator:
         new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B, **mer_state}
 
+        # rows_2d: the fused resampler keeps its [nb, out_block] row shape
+        # (row-major == stream order); flattening to [B, N] on device is a
+        # tile-row-width change, i.e. a pure relayout of the full 4x-rate
+        # stream.  Downstream stages are elementwise or stack on a new
+        # minor axis, so only the final host-side view reshapes.
+        rows_2d = False
         if self._poly_plan:
             with jax.named_scope("resampler"):
                 flat = cplx.pmap(lambda x: x.reshape(-1), iq)
                 if self._res_backend is not None:
-                    y, carry = self._res_backend(flat, state["res_carry"])
+                    iq, carry = self._res_backend(flat, state["res_carry"])
+                    rows_2d = True
                 else:
                     y, carry = filters.resample_poly(
                         flat, self._poly_plan, state["res_carry"])
+                    iq = cplx.pmap(lambda x: x.reshape(B, -1), y)
                 new_state["res_carry"] = carry
-                iq = cplx.pmap(lambda x: x.reshape(B, -1), y)
         elif self._res_plan:
             with jax.named_scope("resampler"):
                 # rare decimation path: the pair-domain freq resampler
@@ -484,10 +496,23 @@ class Modulator:
                 # takes the fast 32-bit path
                 out, n_clip = filters.pack_s16_planes(iq[0], iq[1])
                 stats["num_clipped"] = n_clip
+                if rows_2d:
+                    out = out.reshape(B, -1)
             return out, new_state, stats
 
+        if self._wire_fmt is None and not self.settings.device_interleave:
+            # f32 planes contract: the host writer interleaves at the
+            # wire boundary (runtime._fetch_loop), like the reference's
+            # CPU FormatConverter.  2D-row shapes flatten as host views.
+            return iq, new_state, stats
+
         with jax.named_scope("interleave_out"):
-            out = cplx.planes_to_pairs(iq)       # [B, N, 2] wire form
+            # stack on a new minor axis; for the 2D-row form the flat
+            # order of [nb, ob, 2] is already the pair stream, so the
+            # [B, N, 2] view is a row-major-compatible reshape
+            out = cplx.planes_to_pairs(iq)
+            if rows_2d:
+                out = out.reshape(B, -1, 2)      # [B, N, 2] wire form
         if self._wire_fmt is not None:
             with jax.named_scope("format_convert"):
                 out, n_clip = filters.format_convert(out, self._wire_fmt)

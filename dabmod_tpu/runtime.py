@@ -55,6 +55,18 @@ RC_FAULT_POLL_FRAMES = 250
 class ModRuntime:
     def __init__(self, settings: ModSettings):
         self.settings = settings
+        # f32 sinks take the planes contract: the device skips the
+        # expensive minor-axis interleave and this runtime's writer
+        # assembles pairs at memcpy speed (config.device_interleave)
+        f32_file = (settings.output == "file"
+                    and settings.file_output_format in (
+                        "complexf", "complexf_normalised", "f32", ""))
+        f32_zmq = (settings.output == "zmq"
+                   and settings.zmq_output_format not in ("s16", "u8",
+                                                          "s8"))
+        f32_sdr = settings.output in ("uhd", "soapy", "lime", "loopback")
+        if f32_file or f32_zmq or f32_sdr:
+            settings.device_interleave = False
         self.reader = open_input(settings)
         self.output = open_output(settings)
         self.ts_decoder = TimestampDecoder(settings.tist_offset)
@@ -324,7 +336,17 @@ class ModRuntime:
                             >= RC_FAULT_POLL_FRAMES):
                         self._frames_since_stats_poll = 0
                         self._note_stats(stats, n_cells)
-                arr = np.asarray(iq)                 # blocking D2H copy
+                if isinstance(iq, tuple):
+                    # planes contract: fetch both planes and interleave
+                    # here, at the same host boundary where the
+                    # reference's FormatConverter assembles wire bytes
+                    re = np.asarray(iq[0]).reshape(len(meta), -1)
+                    im = np.asarray(iq[1]).reshape(len(meta), -1)
+                    arr = np.empty((*re.shape, 2), np.float32)
+                    arr[..., 0] = re
+                    arr[..., 1] = im
+                else:
+                    arr = np.asarray(iq)             # blocking D2H copy
                 self._write_queue.put((arr, meta, T))
                 if "num_clipped" in stats:
                     # device-side FormatConverter clip counter: a scalar
@@ -616,12 +638,13 @@ class ModRuntime:
                     for i in range(len(tf_ts))]
             p = self.modulator.p
             n_cells = (T // C) * p.spacing * (p.nb_symbols + 1)
-            try:
-                # start the D2H transfer now so it overlaps the writer
-                # thread's file write of the previous batch
-                iq.copy_to_host_async()
-            except AttributeError:
-                pass
+            for part in (iq if isinstance(iq, tuple) else (iq,)):
+                try:
+                    # start the D2H transfer now so it overlaps the writer
+                    # thread's file write of the previous batch
+                    part.copy_to_host_async()
+                except AttributeError:
+                    pass
             self._out_queue.put((iq, stats, meta, T, n_cells))
             self.framecount += T
             if self._t0 is None:

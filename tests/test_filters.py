@@ -218,7 +218,10 @@ def test_resampler_kernel_matches_xla_polyphase():
         im = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         z = (jnp.zeros((h2,), jnp.float32),) * 2
         (kr, ki), carry = jax.jit(apply)((re, im), z)
-        got = np.stack([np.asarray(kr), np.asarray(ki)], -1)
+        # output keeps the kernel's [nb, out_block] row shape; the
+        # row-major flat order is the stream
+        got = np.stack([np.asarray(kr).reshape(-1),
+                        np.asarray(ki).reshape(-1)], -1)
         (yr, yi), c2 = jax.jit(
             lambda p, c: resample_poly(p, plan, c))((re, im), z)
         ref = np.stack([np.asarray(yr), np.asarray(yi)], -1)
@@ -232,9 +235,11 @@ def test_resampler_kernel_matches_xla_polyphase():
         half = n // 2
         (r1, i1), c1 = jax.jit(apply)((re[:half], im[:half]), z)
         (r2, i2), _ = jax.jit(apply)((re[half:], im[half:]), c1)
-        both = np.stack([np.concatenate([np.asarray(r1), np.asarray(r2)]),
-                         np.concatenate([np.asarray(i1), np.asarray(i2)])],
-                        -1)
+        both = np.stack(
+            [np.concatenate([np.asarray(r1).reshape(-1),
+                             np.asarray(r2).reshape(-1)]),
+             np.concatenate([np.asarray(i1).reshape(-1),
+                             np.asarray(i2).reshape(-1)])], -1)
         np.testing.assert_allclose(both, got, rtol=1e-6, atol=1e-6)
 
 

@@ -132,3 +132,39 @@ def test_zmq_s16_integer_wire(tmp_path):
     n_samples = 2 * tables.mode_params(1).tf_samples
     assert len(data) == n_samples * 2 * 2        # s16 pairs: half of f32
     assert data == ref_bytes
+
+
+def test_f32_file_output_host_interleave(tmp_path):
+    """The f32 planes contract (device_interleave=False, chosen
+    automatically by the runtime for f32 sinks) must write byte-identical
+    wire data to the device-interleaved pairs path."""
+    from dabmod_tpu.runtime import ModRuntime
+
+    frames = synth_eti_batch(8, mode=1)
+    inp = tmp_path / "in.eti"
+    inp.write_bytes(frames.tobytes())
+    s = ModSettings(input_name=str(inp), output="file",
+                    output_name=str(tmp_path / "f32.iq"),
+                    file_output_format="complexf",
+                    batch_tf=2).normalise_for_output()
+    rt = ModRuntime(s)
+    assert s.device_interleave is False      # auto-selected for f32
+    assert rt.run() == 0
+    rt.close()
+    got = np.fromfile(tmp_path / "f32.iq", np.float32)
+
+    m = Modulator(make_default_layout(1),
+                  ModSettings(dab_mode=1, device_interleave=True))
+    batch = parse_eti_frames(frames)
+    state = m.init_state()
+    parts = []
+    for i in (0, 1):
+        iq, state, _ = m.modulate_eti(
+            type(batch)(batch.raw[i * 4:(i + 1) * 4]) if False else
+            parse_eti_frames(frames[i * 4:(i + 1) * 4]), state)
+        parts.append(np.asarray(iq).reshape(-1))
+    want = np.concatenate(parts)
+    # two different executables (planes vs pairs output) may differ by
+    # f32 rounding from different fusion choices; bound: sub-wire-LSB
+    d = np.abs(got - want)
+    assert float(d.max()) < 0.05, float(d.max())

@@ -36,7 +36,11 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
 
     specs = ((0, 24, 0x22), (48, 48, 0x02))
     layout = make_default_layout(mode, subch_specs=specs)
-    m = Modulator(layout, ModSettings(dab_mode=mode, **settings_kw))
+    # production contract: f32 outputs are (re, im) planes; the host
+    # writer interleaves at the wire boundary (config.device_interleave)
+    m = Modulator(layout, ModSettings(dab_mode=mode,
+                                      device_interleave=False,
+                                      **settings_kw))
     p = tables.mode_params(mode)
     # equal signal duration per device step across modes: TM-II/III/IV TFs
     # are 24 ms vs TM-I's 96 ms, so batch 4x as many of them
@@ -63,7 +67,11 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
     # the fixed tunnel round-trip (same methodology as bench.py).
     def impl(fic, subs, state, cg, vk):
         iq, st, stats = m._modulate_impl(fic, subs, state, cg, vk)
-        return iq, jnp.sum(iq[:, 0, 0]), st
+        if isinstance(iq, tuple):     # f32 planes contract
+            probe = jnp.sum(iq[0][:, 0]) + jnp.sum(iq[1][:, 0])
+        else:
+            probe = jnp.sum(iq[..., 0, 0])
+        return iq, probe, st
 
     step = jax.jit(impl, donate_argnums=(2,))
 
