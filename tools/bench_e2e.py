@@ -141,28 +141,32 @@ def main():
     inp = "/dev/shm/bench_e2e_in.eti"
     make_input(inp)
 
-    transport = measure_transport()
-    # transport ceiling in x-real-time for each wire format
-    ceil_s16 = transport * 1e6 / 4 / 2_048_000
-    ceil_u8 = transport * 1e6 / 2 / 2_048_000
-
     results = {
         "metric": "end-to-end streaming x-real-time (ETI in -> wire file out)"
                   ", TM-I 2-subchannel ensemble, batch_tf=24",
-        "transport_MBps": round(transport, 1),
         "transport_note": "tunnelled single-chip environment; D2H bandwidth "
                           "is the binding constraint and varies 30-160 MB/s "
-                          "run to run",
-        "file_s16": bench_file(inp, "s16"),
-        "tcp_s16": bench_tcp(inp, "s16"),
-        "file_u8": bench_file(inp, "u8"),
+                          "run to run, so the ceiling is re-measured "
+                          "bracketing each config (mean of before/after)",
     }
-    results["file_s16"]["transport_ceiling_x"] = round(ceil_s16, 2)
-    results["file_s16"]["pipeline_efficiency"] = round(
-        results["file_s16"]["x_realtime"] / ceil_s16, 3)
-    results["file_u8"]["transport_ceiling_x"] = round(ceil_u8, 2)
-    results["file_u8"]["pipeline_efficiency"] = round(
-        results["file_u8"]["x_realtime"] / ceil_u8, 3)
+
+    def with_ceiling(fn, bytes_per_sample):
+        # bracket the run with transport measurements: the tunnel drifts
+        # on multi-second scales, so a single up-front ceiling mismatches
+        # the window the config actually ran in
+        t_before = measure_transport()
+        r = fn()
+        t_after = measure_transport()
+        ceil = ((t_before + t_after) / 2) * 1e6 \
+            / bytes_per_sample / 2_048_000
+        r["transport_MBps"] = round((t_before + t_after) / 2, 1)
+        r["transport_ceiling_x"] = round(ceil, 2)
+        r["pipeline_efficiency"] = round(r["x_realtime"] / ceil, 3)
+        return r
+
+    results["file_s16"] = with_ceiling(lambda: bench_file(inp, "s16"), 4)
+    results["tcp_s16"] = bench_tcp(inp, "s16")
+    results["file_u8"] = with_ceiling(lambda: bench_file(inp, "u8"), 2)
 
     out = os.path.join(REPO, "BENCH_r04_e2e.json")
     if "--json" in sys.argv:
