@@ -147,7 +147,9 @@ def main():
         "transport_note": "tunnelled single-chip environment; D2H bandwidth "
                           "is the binding constraint and varies 30-160 MB/s "
                           "run to run, so the ceiling is re-measured "
-                          "bracketing each config (mean of before/after)",
+                          "bracketing each config (mean of before/after); "
+                          "efficiency > 1.0 means the pipeline's overlapped "
+                          "async copies outran the serial ceiling probe",
     }
 
     def with_ceiling(fn, bytes_per_sample):
