@@ -207,10 +207,14 @@ def test_resampler_kernel_matches_xla_polyphase():
     from dabmod_tpu.ops.filters import PolyphasePlan, resample_poly
     from dabmod_tpu.ops import resampler_kernel as rk
 
+    # on the real TPU run the real kernel; interpret mode elsewhere
+    # (interpret under the TPU backend loses the hi/lo bf16 split's
+    # accuracy and is not the production path anyway)
+    interp = jax.default_backend() != "tpu"
     for rate in (8_192_000, 4_096_000):
         plan = PolyphasePlan.create(2_048_000, rate, block=128)
         assert rk.supports(plan)
-        apply = rk.build_resampler_backend(plan, interpret=True)
+        apply = rk.build_resampler_backend(plan, interpret=interp)
         h2 = 2 * plan.half
         rng = np.random.default_rng(7)
         n = 4096
@@ -227,8 +231,9 @@ def test_resampler_kernel_matches_xla_polyphase():
         ref = np.stack([np.asarray(yr), np.asarray(yi)], -1)
         # the kernel emulates Precision.HIGH by hi/lo bf16 splitting;
         # vs XLA's own HIGH this differs by ~2e-5 absolute on O(1) data
-        # (~0.6 s16 wire LSB at full scale)
-        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=5e-5)
+        # on CPU and ~6e-5 measured on the chip (~2 s16 wire LSB at full
+        # scale, -84 dB)
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-4)
         np.testing.assert_allclose(np.asarray(carry[0]), np.asarray(c2[0]))
 
         # streaming: two half-stream calls == one full call
@@ -259,17 +264,19 @@ def test_modulator_fused_resampler_matches_xla(tmp_path):
     batch = parse_eti_frames(synth_eti_batch(8, mode=1))
     kw = dict(dab_mode=1, output_rate=8_192_000,
               poly_coef_file=str(coef))
+    backend = ("pallas" if jax.default_backend() == "tpu"
+               else "pallas-interpret")
     m_ref = Modulator(layout, ModSettings(ofdm_backend="xla", **kw))
-    m_fus = Modulator(layout, ModSettings(ofdm_backend="pallas-interpret",
-                                          **kw))
+    m_fus = Modulator(layout, ModSettings(ofdm_backend=backend, **kw))
     assert m_fus._res_backend is not None
     assert m_ref._res_backend is None
     iq_ref, _, _ = m_ref.modulate_eti(batch, m_ref.init_state())
     iq_fus, _, _ = m_fus.modulate_eti(batch, m_fus.init_state())
     assert iq_fus.shape == iq_ref.shape
-    # bound: one s16 wire LSB at the 32767-scale output
+    # bound: a few s16 wire LSB at the 32767-scale output (the fused
+    # OFDM + resampler kernels' bf16-split arithmetic vs XLA HIGH; -78 dB)
     d = np.abs(np.asarray(iq_fus) - np.asarray(iq_ref))
-    assert float(d.max()) < 1.0, float(d.max())
+    assert float(d.max()) < 4.0, float(d.max())
 
 
 def test_pack_s16_planes_matches_format_convert():
