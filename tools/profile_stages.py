@@ -80,7 +80,10 @@ def collect_device_times(logdir, scope_map=None):
                                 long_name = st.str_value
                     stage = None
                     if scope_map is not None:
-                        stage = scope_map.get(name.lstrip("%"))
+                        # md.name carries the full HLO line on TPU planes;
+                        # the bare instruction name is the display_name
+                        short = (md.display_name or name).lstrip("%")
+                        stage = scope_map.get(short.split(" ")[0])
                     if stage is None:
                         for s in STAGES:
                             if s + "/" in long_name \
@@ -119,7 +122,10 @@ def main():
 
     specs = ((0, 24, 0x22), (48, 48, 0x02))
     layout = make_default_layout(mode, subch_specs=specs)
-    m = Modulator(layout, ModSettings(dab_mode=mode, **kw))
+    # production contract (same as tools/bench_configs.py): f32 planes,
+    # host-side interleave
+    m = Modulator(layout, ModSettings(dab_mode=mode,
+                                      device_interleave=False, **kw))
     p = tables.mode_params(mode)
     raw = synth_eti_batch(batch_tf * p.cif_count, mode=mode,
                           subch_specs=specs, seed=0)
@@ -134,7 +140,11 @@ def main():
     # barrier (see bench.py)
     def impl(fic, subs, state, cg, vk):
         iq, st, stats = m._modulate_impl(fic, subs, state, cg, vk)
-        return iq, jnp.sum(iq[:, 0, 0]), st
+        if isinstance(iq, tuple):        # f32 planes contract
+            probe = jnp.sum(iq[0][:, 0]) + jnp.sum(iq[1][:, 0])
+        else:
+            probe = jnp.sum(iq[..., 0, 0])
+        return iq, probe, st
 
     step = jax.jit(impl, donate_argnums=(2,))
 
