@@ -62,11 +62,24 @@ def diff_modulate(sym_q: jnp.ndarray, ref_q: jnp.ndarray) -> jnp.ndarray:
 
     sym_q: [B, L, C] data-symbol phase indices; ref_q: [C] phase reference.
     Returns [B, L+1, C] (symbol 0 = phase reference).
+
+    The cumsum over the (short) symbol axis runs as one MXU matmul with a
+    lower-triangular ones operator instead of XLA's log-depth shifted-add
+    lowering (~7 full HBM passes over the batch; measured 0.20 ms of a
+    1.54 ms step).  Exact: phase indices are <= 7, partial sums <= 7*77 --
+    both exact in bf16 inputs / f32 accumulation, so even DEFAULT matmul
+    precision reproduces the integer cumsum bit-for-bit (asserted against
+    the integer form in tests).
     """
     B = sym_q.shape[0]
     ref = jnp.broadcast_to(ref_q.astype(jnp.int32), (B, 1, sym_q.shape[2]))
     phases = jnp.concatenate([ref, sym_q.astype(jnp.int32)], axis=1)
-    return jnp.cumsum(phases, axis=1) & 7
+    s = phases.shape[1]
+    tri = np.tril(np.ones((s, s), np.float32)).T     # [s_in, s_out]
+    csum = jnp.einsum("bsc,st->btc", phases.astype(jnp.float32),
+                      jnp.asarray(tri),
+                      precision=jax.lax.Precision.DEFAULT)
+    return csum.astype(jnp.int32) & 7
 
 
 def phases_to_carriers(phases: jnp.ndarray):
