@@ -74,8 +74,10 @@ class FileOutput:
             # already wire bytes (device-side conversion / f32 pairs):
             # stream straight from the array buffer -- tobytes() would
             # copy the whole batch twice
+            # num_clipped_samples is left untouched: for device-converted
+            # streams the runtime's fetch loop polls the on-chip clip
+            # counter into it (runtime fetch thread, 250-frame cadence)
             np.ascontiguousarray(x).tofile(self.f)
-            self.num_clipped_samples = 0
         else:
             data, n_clipped = serialize_iq_count(x, self.fmt)
             self.num_clipped_samples = n_clipped

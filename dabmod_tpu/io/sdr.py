@@ -273,8 +273,10 @@ class SdrOutput:
         if self.feedback_server is not None and ts is not None:
             snap = frame
             if np.issubdtype(snap.dtype, np.integer):
-                # the DPD engine consumes f32 pairs; unpack the wire words
+                # the DPD engine consumes f32 pairs; unpack the wire
+                # words and renormalise int16 full scale to +-1.0
                 snap = sc16_pairs(snap).astype(np.float32)
+                snap *= 1.0 / 32768.0
             self.feedback_server.set_tx_frame(snap, ts)
         # push_overflow: drop oldest on full (lib/ThreadsafeQueue.h).  The
         # evict-one-then-put must be atomic against other producers, else a

@@ -171,10 +171,12 @@ class SoapyDevice(SdrDevice):
         """MTU-chunked writeStream loop with timeNs advance and
         EOB-deactivate (ref: src/output/Soapy.cpp:276-368)."""
         if np.issubdtype(samples.dtype, np.integer):
-            # kiss / device-converted frames arrive as packed s16
-            # wire words; this driver streams fc32
+            # device-converted frames arrive as packed s16 wire words;
+            # this driver streams fc32 (full scale +-1.0), so divide by
+            # 32768 to map int16 full scale onto DAC full scale
             from .sdr import sc16_pairs
             samples = sc16_pairs(samples).astype(np.float32)
+            samples *= 1.0 / 32768.0
         flat = np.ascontiguousarray(samples, np.float32).reshape(-1, 2)
         cplx = flat.view(np.complex64).reshape(-1)
         n = cplx.shape[0]

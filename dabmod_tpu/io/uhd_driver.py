@@ -379,10 +379,14 @@ class UhdDevice(SdrDevice):
         """Timed send loop with per-packet time_spec advance and EOB on
         timestamp refresh / muting (ref: UHD.cpp:314-375)."""
         if np.issubdtype(samples.dtype, np.integer):
-            # kiss / device-converted frames arrive as packed s16
-            # wire words; this driver streams fc32
+            # kiss / device-converted frames arrive as packed s16 wire
+            # words.  The reference streams them natively as sc16 where
+            # int16 full scale maps to DAC full scale (UHD.cpp:233-234);
+            # this driver streams fc32 (full scale +-1.0), so divide by
+            # 32768 to hit the same DAC amplitude.
             from .sdr import sc16_pairs
             samples = sc16_pairs(samples).astype(np.float32)
+            samples *= 1.0 / 32768.0
         flat = np.ascontiguousarray(samples, np.float32).reshape(-1, 2)
         cplx = flat.view(np.complex64).reshape(-1)
         n = cplx.shape[0]

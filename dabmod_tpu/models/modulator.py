@@ -52,6 +52,12 @@ class Modulator:
                 raise ValueError("fixed point doesn't support resampler")
             if s.enable_cfr:
                 raise ValueError("fixed point doesn't support CFR")
+            if s.output in ("soapy", "lime", "bladerf"):
+                # these drivers re-scale float samples themselves and have
+                # no native fixed-point stream path
+                # (ref: src/DabMod.cpp:306,326,337)
+                raise ValueError(
+                    f"{s.output} fixed_point unsupported")
 
         # --- FEC tables (bit domain is int32, see ops.fec.BIT_DTYPE) ---
         self._fic_prbs = np.asarray(

@@ -109,10 +109,11 @@ def make_sharded_time_interleave(mesh: Mesh):
     def sharded_ti(bits, history, delay_masks=None):
         from ..ops import fec
         T, n = bits.shape
-        if n_dev == 1 or T % n_dev or (T // n_dev) * (n_dev - 1) < 0:
+        if n_dev == 1 or T % n_dev:
             return fec.time_interleave(bits, history, delay_masks)
         tl = T // n_dev
         hops = -(-15 // tl)                # predecessors covering 15 rows
+        halo = min(tl, 15)                 # rows exchanged per hop
 
         def local(b, hist):
             # b [tl, n] local rows; hist [15, n] replicated global tail
@@ -120,7 +121,9 @@ def make_sharded_time_interleave(mesh: Mesh):
             tails = []
             for h in range(hops, 0, -1):
                 perm = [(s, s + h) for s in range(n_dev - h)]
-                tails.append(jax.lax.ppermute(b, axes, perm))
+                # only each shard's tail rows travel: hop h needs at most
+                # the predecessor's last min(tl, 15) rows
+                tails.append(jax.lax.ppermute(b[-halo:], axes, perm))
             ext = jnp.concatenate(tails, axis=0)[-15:]
             # ext row j holds global row i*tl - 15 + j (zeros where that
             # is negative); the gap is filled from the carried history at

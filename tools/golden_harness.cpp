@@ -441,6 +441,127 @@ int main(int argc, char** argv) {
              all_syms.size() * sizeof(complexf), all_syms.size());
     }
 
+    // Mode 1, realistic 17-sub-channel mux filling 855/864 CUs with mixed
+    // UEP levels and EEP-A/EEP-B profiles (the shape of a production DAB
+    // ensemble, vs the 2-sub-channel toy above).  16 ETI frames = 4
+    // transmission frames.  Inputs are dumped frame-major as one blob:
+    // for each frame, sub0..subN payload bytes concatenated.
+    {
+        rng_state = 0x243F6A8885A308D3ull;   // section-stable fixtures
+        struct RealSub { uint16_t sad; uint16_t stl; uint8_t tpl; };
+        const std::vector<RealSub> mux = {
+            {  0, 72, 0x02},   // UEP 192 kbps L3   140 CU
+            {140, 48, 0x02},   // UEP 128 kbps L3    96 CU
+            {236, 48, 0x03},   // UEP 128 kbps L4    84 CU
+            {320, 36, 0x22},   // EEP-A3 96 kbps     72 CU
+            {392, 36, 0x22},   // EEP-A3 96 kbps     72 CU
+            {464, 30, 0x22},   // EEP-A3 80 kbps     60 CU
+            {524, 24, 0x22},   // EEP-A3 64 kbps     48 CU
+            {572, 24, 0x27},   // EEP-B4 64 kbps     30 CU
+            {602, 18, 0x22},   // EEP-A3 48 kbps     36 CU
+            {638, 18, 0x21},   // EEP-A2 48 kbps     48 CU
+            {686, 12, 0x22},   // EEP-A3 32 kbps     24 CU
+            {710, 12, 0x26},   // EEP-B3 32 kbps     18 CU
+            {728, 12, 0x20},   // EEP-A1 32 kbps     48 CU
+            {776, 12, 0x01},   // UEP 32 kbps L2     29 CU
+            {805, 12, 0x26},   // EEP-B3 32 kbps     18 CU
+            {823,  3, 0x21},   // EEP-A2 8 kbps       8 CU
+            {831, 12, 0x22},   // EEP-A3 32 kbps     24 CU -> ends at 855
+        };
+        FakeEtiSource src;
+        for (auto& m : mux)
+            src.m_subs.push_back(
+                std::make_shared<SubchannelSource>(m.sad, m.stl, m.tpl));
+
+        PrbsGenerator ficPrbs(96, 0x110);
+        ConvEncoder ficConv(96);
+        PuncturingEncoder ficPunct;
+        FicSource fic(1, 1);
+        for (const auto& r : fic.get_rules()) ficPunct.append_rule(r);
+        ficPunct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+
+        struct SubChain {
+            PrbsGenerator prbs;
+            ConvEncoder conv;
+            PuncturingEncoder punct;
+            TimeInterleaver ti;
+            SubChain(size_t fs, size_t cu,
+                     const std::vector<PuncturingRule>& rules)
+                : prbs(fs, 0x110), conv(fs), punct(cu), ti(cu * 8) {
+                for (const auto& r : rules) punct.append_rule(r);
+                punct.append_tail_rule(PuncturingRule(3, 0xcccccc));
+            }
+        };
+        std::vector<std::unique_ptr<SubChain>> chains;
+        for (auto& s : src.m_subs) {
+            chains.emplace_back(std::make_unique<SubChain>(
+                s->framesize(), s->framesizeCu(), s->get_rules()));
+        }
+
+        PrbsGenerator cifPrbs(864 * 8, 0x110);
+        FrameMultiplexer muxer(src);
+        BlockPartitioner part(1);
+        QpskSymbolMapper map(1536, false);
+        FrequencyInterleaver freq(1, false);
+        PhaseReference pref(1, false);
+        DifferentialModulator diff(1536, false);
+
+        std::vector<uint8_t> all_fic, all_sub;
+        std::vector<complexf> all_syms;
+        Buffer tfblock;
+
+        for (int frame = 0; frame < 16; frame++) {
+            Buffer ficIn, t1, t2, ficOut;
+            fill_bytes(ficIn, 96);
+            {
+                const uint8_t* p = (const uint8_t*)ficIn.getData();
+                all_fic.insert(all_fic.end(), p, p + 96);
+            }
+            ficPrbs.process({&ficIn}, {&t1});
+            ficConv.process(&t1, &t2);
+            ficPunct.process(&t2, &ficOut);
+
+            std::vector<Buffer> subOut(chains.size());
+            for (size_t i = 0; i < chains.size(); i++) {
+                Buffer in, a, b, c;
+                fill_bytes(in, src.m_subs[i]->framesize());
+                const uint8_t* p = (const uint8_t*)in.getData();
+                all_sub.insert(all_sub.end(), p, p + in.getLength());
+                chains[i]->prbs.process({&in}, {&a});
+                chains[i]->conv.process(&a, &b);
+                chains[i]->punct.process(&b, &c);
+                chains[i]->ti.process(&c, &subOut[i]);
+            }
+
+            Buffer filler, cif;
+            cifPrbs.process({}, {&filler});
+            std::vector<Buffer*> muxIn{&filler};
+            for (auto& b : subOut) muxIn.push_back(&b);
+            muxer.process(muxIn, &cif);
+
+            std::vector<Buffer*> partIn{&ficOut, &cif};
+            int full = part.process(partIn, &tfblock);
+            if (full) {
+                Buffer mapped, interleaved, ref, symbols;
+                map.process(&tfblock, &mapped);
+                freq.process(&mapped, &interleaved);
+                pref.process(&ref);
+                std::vector<Buffer*> diffIn{&ref, &interleaved};
+                diff.process(diffIn, &symbols);
+                const complexf* p = (const complexf*)symbols.getData();
+                all_syms.insert(all_syms.end(),
+                                p, p + symbols.getLength() / sizeof(complexf));
+            }
+        }
+
+        dump("e2e_real_fic_in", "u8", all_fic.data(), all_fic.size(),
+             all_fic.size());
+        dump("e2e_real_sub_in", "u8", all_sub.data(), all_sub.size(),
+             all_sub.size());
+        dump("e2e_real_symbols", "c8", all_syms.data(),
+             all_syms.size() * sizeof(complexf), all_syms.size());
+    }
+
     // ---- Full-frame fixed-point I/Q: the fft_engine=kiss configuration.
     // TM-I, the same two-sub-channel ensemble, but through the reference's
     // complete fixed-point chain: Q1.14 QPSK/freq-interleave/diff-mod,
