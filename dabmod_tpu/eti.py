@@ -201,6 +201,32 @@ def build_eti_frame(layout: EnsembleLayout, fct: int, fic: np.ndarray,
     return frame
 
 
+# A production-shaped DAB ensemble: 17 sub-channels, mixed UEP levels and
+# EEP-A/EEP-B profiles, filling 855 of the 864 CIF capacity units (real
+# muxes carry 10-20 services; the 2-sub-channel toy below exercises the
+# code paths but not the scale).  Must stay in sync with the realistic-mux
+# golden section in tools/golden_harness.cpp.  Entries: (sad_cu, stl, tpl).
+REALISTIC_MUX_SPECS = (
+    (0, 72, 0x02),     # UEP 192 kbps L3   140 CU
+    (140, 48, 0x02),   # UEP 128 kbps L3    96 CU
+    (236, 48, 0x03),   # UEP 128 kbps L4    84 CU
+    (320, 36, 0x22),   # EEP-A3 96 kbps     72 CU
+    (392, 36, 0x22),   # EEP-A3 96 kbps     72 CU
+    (464, 30, 0x22),   # EEP-A3 80 kbps     60 CU
+    (524, 24, 0x22),   # EEP-A3 64 kbps     48 CU
+    (572, 24, 0x27),   # EEP-B4 64 kbps     30 CU
+    (602, 18, 0x22),   # EEP-A3 48 kbps     36 CU
+    (638, 18, 0x21),   # EEP-A2 48 kbps     48 CU
+    (686, 12, 0x22),   # EEP-A3 32 kbps     24 CU
+    (710, 12, 0x26),   # EEP-B3 32 kbps     18 CU
+    (728, 12, 0x20),   # EEP-A1 32 kbps     48 CU
+    (776, 12, 0x01),   # UEP 32 kbps L2     29 CU
+    (805, 12, 0x26),   # EEP-B3 32 kbps     18 CU
+    (823, 3, 0x21),    # EEP-A2 8 kbps       8 CU
+    (831, 12, 0x22),   # EEP-A3 32 kbps     24 CU -> ends at 855
+)
+
+
 def synth_eti_batch(n_frames: int, mode: int = 1,
                     subch_specs=((0, 24, 0x22),),
                     seed: int = 0) -> np.ndarray:

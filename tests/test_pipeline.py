@@ -37,6 +37,36 @@ def test_frontend_matches_reference_chain():
                                   np.angle(expect).round(3))
 
 
+def test_frontend_matches_reference_realistic_mux():
+    """16 ETI frames through a production-shaped 17-sub-channel / 855-CU
+    ensemble (mixed UEP + EEP-A/B) -> the exact reference symbol stream.
+    Proves parity beyond the 2-sub-channel toy layout."""
+    from dabmod_tpu.eti import REALISTIC_MUX_SPECS
+
+    layout = make_default_layout(1, subch_specs=REALISTIC_MUX_SPECS)
+    m = Modulator(layout, ModSettings(dab_mode=1))
+
+    fic = load("e2e_real_fic_in").reshape(16, 96)
+    blob = load("e2e_real_sub_in")
+    sizes = [stl * 8 for _, stl, _ in REALISTIC_MUX_SPECS]
+    per_frame = sum(sizes)
+    frames = blob.reshape(16, per_frame)
+    subs, off = [], 0
+    for n in sizes:
+        subs.append(frames[:, off:off + n])
+        off += n
+    expect = load("e2e_real_symbols").reshape(4, 76, 1536)
+
+    hist = tuple(jnp.zeros((15, int(mm.shape[1])), jnp.int32)
+                 for mm in m._subch_masks)
+    syms, _ = m.frontend(fic, tuple(subs), hist)
+    got = cplx.planes_to_complex(syms)
+    assert got.shape == (4, 76, 1536)
+    np.testing.assert_allclose(got, expect, atol=4e-6)
+    np.testing.assert_array_equal(np.angle(got).round(3),
+                                  np.angle(expect).round(3))
+
+
 def test_full_pipeline_shapes_and_stats():
     layout = make_default_layout(1)
     m = Modulator(layout, ModSettings(dab_mode=1))

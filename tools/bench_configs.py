@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
+def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0, specs=None):
     import jax
     import jax.numpy as jnp
     from dabmod_tpu import tables
@@ -34,7 +34,8 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
     from dabmod_tpu.eti import parse_eti_frames, synth_eti_batch
     from dabmod_tpu.models import Modulator, make_default_layout
 
-    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    if specs is None:
+        specs = ((0, 24, 0x22), (48, 48, 0x02))
     layout = make_default_layout(mode, subch_specs=specs)
     # production contract: f32 outputs are (re, im) planes; the host
     # writer interleaves at the wire boundary (config.device_interleave)
@@ -76,8 +77,10 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
     step = jax.jit(impl, donate_argnums=(2,))
 
     state = m.init_state()
+    t_compile0 = time.perf_counter()
     iq, probe, state = step(staged[0][0], staged[0][1], state, cg, vk)
     float(probe)
+    compile_s = time.perf_counter() - t_compile0
 
     def timed_run(n):
         nonlocal state
@@ -108,6 +111,8 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0):
         "out_rate": out_rate,
         "samples_per_s": round(out_samples_per_s),
         "x_realtime": round(rt, 1),
+        "n_subchannels": len(specs),
+        "compile_s": round(compile_s, 1),
     }
 
 
@@ -125,6 +130,16 @@ CONFIGS = [
     ("TII+DPD",       1, {"tii_enable": True,
                           "poly_coef_file": "__builtin_poly__"}),
     ("full",          1, {"filter_taps_file": "default",
+                          "ofdm_window_overlap": 32,
+                          "enable_cfr": True, "cfr_clip": 12.0,
+                          "cfr_error_clip": 3.0, "tii_enable": True,
+                          "poly_coef_file": "__builtin_poly__"}),
+    # production-shaped ensemble: 17 sub-channels / 855 CU (vs the
+    # 2-sub-channel toy above); same spec set as the golden-verified
+    # realistic-mux parity test (eti.REALISTIC_MUX_SPECS)
+    ("realistic17",   1, {"__realistic__": True}),
+    ("realistic17 full", 1, {"__realistic__": True,
+                          "filter_taps_file": "default",
                           "ofdm_window_overlap": 32,
                           "enable_cfr": True, "cfr_clip": 12.0,
                           "cfr_error_clip": 3.0, "tii_enable": True,
@@ -172,9 +187,13 @@ def main():
             kw = dict(kw)
             if kw.get("poly_coef_file") == "__builtin_poly__":
                 kw["poly_coef_file"] = poly_path
+            specs = None
+            if kw.pop("__realistic__", False):
+                from dabmod_tpu.eti import REALISTIC_MUX_SPECS
+                specs = REALISTIC_MUX_SPECS
             best = None
             for btf in batch_list:
-                r = bench_one(name, mode, kw, btf)
+                r = bench_one(name, mode, kw, btf, specs=specs)
                 r["batch_tf"] = btf
                 if best is None or r["x_realtime"] > best["x_realtime"]:
                     best = r

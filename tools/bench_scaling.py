@@ -28,6 +28,15 @@ BATCH_PER_CHIP = 8
 ITERS = 4
 
 
+def _specs():
+    """Ensemble under test: the 2-sub-channel toy, or the production-shaped
+    17-sub-channel mux when DABMOD_SCALING_REALISTIC=1 (--realistic)."""
+    if os.environ.get("DABMOD_SCALING_REALISTIC"):
+        from dabmod_tpu.eti import REALISTIC_MUX_SPECS
+        return REALISTIC_MUX_SPECS
+    return ((0, 24, 0x22), (48, 48, 0x02))
+
+
 def worker(n_hosts: int, rank: int, port: int) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -44,7 +53,7 @@ def worker(n_hosts: int, rank: int, port: int) -> None:
     assert len(jax.devices()) == n_hosts * CHIPS_PER_HOST, (
         len(jax.devices()), n_hosts)
 
-    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    specs = _specs()
     layout = make_default_layout(1, subch_specs=specs)
     m = Modulator(layout, ModSettings(dab_mode=1))
     B = n_hosts * CHIPS_PER_HOST * BATCH_PER_CHIP
@@ -118,7 +127,7 @@ def single_process(chip_counts) -> list:
     from dabmod_tpu.models import Modulator, make_default_layout
     from dabmod_tpu.parallel.sharding import ShardedModulator, make_mesh
 
-    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    specs = _specs()
     layout = make_default_layout(1, subch_specs=specs)
     m = Modulator(layout, ModSettings(dab_mode=1))
     rows = []
@@ -181,7 +190,11 @@ def main():
                     help="run single-process chip-axis scaling instead, "
                     "e.g. --chips 1,2,4,8")
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--realistic", action="store_true",
+                    help="use the 17-sub-channel realistic ensemble")
     args = ap.parse_args()
+    if args.realistic:
+        os.environ["DABMOD_SCALING_REALISTIC"] = "1"
 
     if args.worker:
         worker(args.n_hosts, args.rank, args.port)
