@@ -1,1 +1,2 @@
-from .modulator import Modulator, make_default_layout  # noqa: F401
+from .modulator import (Modulator, clear_modulator_cache,  # noqa: F401
+                        get_modulator, make_default_layout)

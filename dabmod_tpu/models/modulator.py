@@ -185,6 +185,15 @@ class Modulator:
                 self._lut = np.asarray(lut)
                 self._lut_scale = float(scalefactor)
 
+        # FIR taps and DPD coefficients enter the jitted step as *runtime
+        # arguments* (shape-stable pytree), so an RC tapsfile/coeffile
+        # reload swaps arrays without any retrace -- the jit analogue of
+        # the reference's mutex-guarded coef swap (src/FIRFilter.cpp:
+        # 137-140, src/MemlessPoly.cpp:192-199).  Presence (the pytree
+        # structure) is fixed at construction; a reload that changes
+        # shape or kind requires a rebuild (as it does in the reference).
+        self._runtime_params = self._make_runtime_params()
+
         # --- device-side wire-format conversion (the FormatConverter,
         #     src/FormatConverter.cpp:62-206, moved on-chip: the D2H copy
         #     then moves 2-4x fewer bytes and the host writes raw bytes) ---
@@ -233,6 +242,72 @@ class Modulator:
         self._time_interleave = fec.time_interleave
 
         self._modulate = jax.jit(self._modulate_impl, donate_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def _make_runtime_params(self):
+        rp = {}
+        if self._fir_taps is not None:
+            rp["fir_taps"] = jnp.asarray(self._fir_taps)
+        if self._poly_am is not None:
+            rp["poly_am"] = jnp.asarray(self._poly_am)
+            rp["poly_pm"] = jnp.asarray(self._poly_pm)
+        if self._lut is not None:
+            rp["lut"] = jnp.asarray(self._lut)
+            rp["lut_scale"] = jnp.float32(self._lut_scale)
+        return rp
+
+    def update_fir_taps(self, taps) -> bool:
+        """Hot-swap the FIR taps without retracing.  Returns False when the
+        tap count differs from the compiled shape (rebuild required)."""
+        taps = np.asarray(taps, np.float32)
+        if self._fir_taps is None or taps.shape != self._fir_taps.shape:
+            return False
+        self._fir_taps = taps
+        self._runtime_params = dict(self._runtime_params,
+                                    fir_taps=jnp.asarray(taps))
+        return True
+
+    def update_dpd(self, kind: str, data) -> bool:
+        """Hot-swap DPD coefficients (poly or LUT) without retracing.
+        Returns False when the kind or shape differs from the compiled
+        structure."""
+        if kind == "poly":
+            am, pm = (np.asarray(a, np.float32) for a in data)
+            if self._poly_am is None or am.shape != self._poly_am.shape \
+                    or pm.shape != self._poly_pm.shape:
+                return False
+            self._poly_am, self._poly_pm = am, pm
+            self._runtime_params = dict(self._runtime_params,
+                                        poly_am=jnp.asarray(am),
+                                        poly_pm=jnp.asarray(pm))
+            return True
+        scalefactor, lut = data
+        lut = np.asarray(lut)
+        if self._lut is None or lut.shape != self._lut.shape:
+            return False
+        self._lut, self._lut_scale = lut, float(scalefactor)
+        self._runtime_params = dict(self._runtime_params,
+                                    lut=jnp.asarray(lut),
+                                    lut_scale=jnp.float32(scalefactor))
+        return True
+
+    def refresh_runtime_params(self) -> bool:
+        """Re-read taps/coef files named in settings into the runtime
+        params (used when a cached compiled modulator is reactivated).
+        Returns False if current file contents no longer fit the compiled
+        shapes."""
+        ok = True
+        s = self.settings
+        if s.filter_taps_file and self._fir_taps is not None:
+            taps = (tables.DEFAULT_FIR_TAPS
+                    if s.filter_taps_file == "default"
+                    else load_fir_taps(s.filter_taps_file))
+            ok = self.update_fir_taps(taps) and ok
+        if s.poly_coef_file and (self._poly_am is not None
+                                 or self._lut is not None):
+            kind, data = load_dpd_file(s.poly_coef_file)
+            ok = self.update_dpd(kind, data) and ok
+        return ok
 
     # ------------------------------------------------------------------
     @property
@@ -310,9 +385,13 @@ class Modulator:
             tuple(jnp.asarray(x) for x in subch_bytes), ti_history)
 
     def _modulate_impl(self, fic_bytes, subch_bytes, state,
-                       constant_gain, var_k):
+                       constant_gain, var_k, rparams=None):
         p = self.p
         B = fic_bytes.shape[0] // p.cif_count
+        # rparams carries the hot-swappable arrays (FIR taps, DPD coefs)
+        # as traced arguments; direct callers that omit it get them baked
+        # as constants (identical numerics, no reload support)
+        rp = self._make_runtime_params() if rparams is None else rparams
 
         data_syms, new_hist = self._frontend_impl(
             fic_bytes, subch_bytes, state["ti_history"])   # [B, 76, C]
@@ -452,7 +531,7 @@ class Modulator:
 
         if self._fir_taps is not None:
             with jax.named_scope("fir"):
-                iq = filters.fir_filter(iq, self._fir_taps)
+                iq = filters.fir_filter(iq, rp["fir_taps"])
 
         new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B, **mer_state}
@@ -490,9 +569,10 @@ class Modulator:
             with jax.named_scope("dpd"):
                 if self._poly_am is not None:
                     iq = filters.memless_poly(
-                        iq, self._poly_am, self._poly_pm)
+                        iq, rp["poly_am"], rp["poly_pm"])
                 else:
-                    iq = filters.memless_lut(iq, self._lut, self._lut_scale)
+                    iq = filters.memless_lut(iq, rp["lut"],
+                                             rp["lut_scale"])
 
         if self._wire_fmt == "s16":
             with jax.named_scope("format_convert"):
@@ -540,11 +620,77 @@ class Modulator:
         return self._modulate(
             jnp.asarray(fic_bytes), tuple(jnp.asarray(x) for x in subch_bytes),
             state, jnp.float32(s.normalise * s.digital_gain),
-            jnp.float32(s.gain_mode_variance))
+            jnp.float32(s.gain_mode_variance), self._runtime_params)
 
     def modulate_eti(self, batch: EtiFrameBatch, state):
         """Convenience: modulate a parsed ETI batch."""
         return self.modulate(batch.fic, tuple(batch.subchannels), state)
+
+
+# ---------------------------------------------------------------------------
+# Compiled-modulator cache: RC parameter flips that rebuild the pipeline
+# (tii enable, cfr clip, windowlen, gain mode, ...) reuse the previously
+# compiled executable instead of paying a fresh XLA compile -- the second
+# `set tii enable 1` is instant.  Keyed by (layout, every compile-relevant
+# setting); runtime-argument values (digital gain, variance, FIR taps and
+# DPD coef *contents*) are deliberately absent from the key.
+# ---------------------------------------------------------------------------
+
+_MODULATOR_CACHE: "OrderedDict[tuple, Modulator]" = __import__(
+    "collections").OrderedDict()
+_MODULATOR_CACHE_MAX = 8
+
+
+def modulator_signature(layout: EnsembleLayout, s: ModSettings) -> tuple:
+    """Everything the compiled graph depends on.  Keep in sync with
+    Modulator.__init__: any setting read there (other than taps/coef file
+    *contents*, which are runtime arguments) must appear here."""
+    ntaps = 0
+    if s.filter_taps_file:
+        taps = (tables.DEFAULT_FIR_TAPS if s.filter_taps_file == "default"
+                else load_fir_taps(s.filter_taps_file))
+        ntaps = int(np.asarray(taps).size)
+    dpd_sig = ()
+    if s.poly_coef_file:
+        kind, data = load_dpd_file(s.poly_coef_file)
+        dpd_sig = ((kind, tuple(np.asarray(data[0]).shape),
+                    tuple(np.asarray(data[1]).shape)) if kind == "poly"
+                   else (kind, len(data[1])))
+    return (layout, s.dab_mode, s.fft_precision, s.fft_engine,
+            s.ofdm_backend, s.ofdm_window_overlap, s.gain_mode,
+            s.enable_cfr, s.cfr_clip, s.cfr_error_clip,
+            s.tii_enable, s.tii_comb, s.tii_pattern, s.tii_old_variant,
+            s.cic_eq_clock_rate, s.output_rate, s.resampler_mode,
+            s.device_format_conversion, s.device_interleave,
+            s.output, s.file_output_format, s.zmq_output_format,
+            ntaps, dpd_sig)
+
+
+def get_modulator(layout: EnsembleLayout,
+                  settings: ModSettings) -> "Modulator":
+    """Build-or-reuse a compiled Modulator.  On a cache hit the instance
+    keeps its jit executable cache (no retrace), is re-pointed at the live
+    settings object (safe: key equality guarantees every compile-relevant
+    field matches) and re-reads taps/coef files so a content-only change
+    since it was parked is picked up."""
+    key = modulator_signature(layout, settings)
+    m = _MODULATOR_CACHE.get(key)
+    if m is not None:
+        _MODULATOR_CACHE.move_to_end(key)
+        m.settings = settings
+        m.refresh_runtime_params()
+        m.cache_hit = True
+        return m
+    m = Modulator(layout, settings)
+    m.cache_hit = False
+    _MODULATOR_CACHE[key] = m
+    while len(_MODULATOR_CACHE) > _MODULATOR_CACHE_MAX:
+        _MODULATOR_CACHE.popitem(last=False)
+    return m
+
+
+def clear_modulator_cache():
+    _MODULATOR_CACHE.clear()
 
 
 def make_default_layout(mode: int = 1,

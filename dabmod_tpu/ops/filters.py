@@ -42,6 +42,21 @@ def _fir_operator(taps_bytes: bytes, ntaps: int, block: int) -> np.ndarray:
     return T
 
 
+def _fir_operator_traced(taps: jnp.ndarray, block: int) -> jnp.ndarray:
+    """In-graph banded operator from a *runtime-argument* taps vector:
+    T[f, o] = taps[f - o] (0 where out of band).  Keeping taps a traced
+    argument means an RC `tapsfile` reload is a plain array swap -- no
+    retrace, no XLA recompile (the reference swaps taps under a mutex,
+    src/FIRFilter.cpp:137-140; this is the jit-world equivalent).  The
+    [block+ntaps, block] gather is negligible next to the matmuls."""
+    ntaps = taps.shape[0]
+    f = np.arange(block + ntaps)[:, None]
+    o = np.arange(block)[None, :]
+    idx = f - o
+    mask = jnp.asarray((idx >= 0) & (idx < ntaps))
+    return jnp.where(mask, taps[np.clip(idx, 0, ntaps - 1)], 0.0)
+
+
 def _banded_apply(x: jnp.ndarray, T: jnp.ndarray, block: int,
                   halo: int) -> jnp.ndarray:
     """Apply a banded operator T [block+halo, out] to a real sample plane
@@ -74,24 +89,32 @@ def fir_filter(x, taps, block: int = 128):
     zero row appended per plane reproduces the reference's truncation at
     the TF boundary (src/FIRFilter.cpp:218-226).
     """
-    taps = np.asarray(taps, np.float32)
-    ntaps = taps.size
+    traced = not isinstance(taps, (np.ndarray, list, tuple))
+    if not traced:
+        taps = np.asarray(taps, np.float32)
+    ntaps = taps.shape[0] if traced else taps.size
     n = x[0].shape[-1]
     lead = x[0].shape[:-1]
     if n % block or ntaps > block:
         # irregular sizes: generic concat-framed einsum
-        T = jnp.asarray(_fir_operator(taps.tobytes(), ntaps, block))
+        T = (_fir_operator_traced(taps, block) if traced
+             else jnp.asarray(_fir_operator(taps.tobytes(), ntaps, block)))
 
         def one(p):
             y = _banded_apply(p, T, block, ntaps)
             return y.reshape(*lead, -1)[..., :n]
         return cplx.pmap(one, x)
 
-    T = _fir_operator(taps.tobytes(), ntaps, block)
-    A = jnp.asarray(np.ascontiguousarray(T[:block]))
-    B_np = np.zeros((block, block), np.float32)
-    B_np[:ntaps] = T[block:block + ntaps]
-    B = jnp.asarray(B_np)
+    if traced:
+        T = _fir_operator_traced(taps, block)
+        A = T[:block]
+        B = jnp.pad(T[block:], ((0, block - ntaps), (0, 0)))
+    else:
+        T = _fir_operator(taps.tobytes(), ntaps, block)
+        A = jnp.asarray(np.ascontiguousarray(T[:block]))
+        B_np = np.zeros((block, block), np.float32)
+        B_np[:ntaps] = T[block:block + ntaps]
+        B = jnp.asarray(B_np)
     nb = n // block
 
     def one(p):

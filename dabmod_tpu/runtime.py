@@ -216,19 +216,46 @@ class ModRuntime:
                 lambda: (self.modulator._fir_taps.shape[0]
                          if self.modulator is not None
                          and self.modulator._fir_taps is not None else 0))
+            def set_tapsfile(v):
+                # hot path: same tap count -> swap the runtime-argument
+                # array, no retrace (ref mutex swap, FIRFilter.cpp:316-324);
+                # different count -> full rebuild like the reference's
+                # PipelinedModCodec restart
+                from .models.modulator import load_fir_taps
+                s.filter_taps_file = str(v)
+                taps = (None if v == "default" else load_fir_taps(str(v)))
+                if taps is None:
+                    from . import tables
+                    taps = tables.DEFAULT_FIR_TAPS
+                if not (self.modulator is not None
+                        and self.modulator.update_fir_taps(taps)):
+                    self._rebuild = True
+                else:
+                    log.info("FIR taps hot-swapped (%d taps, no recompile)",
+                             len(taps))
             fir.add_parameter(
                 "tapsfile", "Filename containing filter taps. When written "
                 "to, the new file gets automatically loaded.",
-                lambda: s.filter_taps_file,
-                setter("filter_taps_file", str, rebuild=True))
+                lambda: s.filter_taps_file, set_tapsfile)
             rcs.enrol(fir)
 
         if s.poly_coef_file:
+            def set_coeffile(v):
+                # same kind + shape -> hot-swap the runtime-argument coefs
+                # (the reference's mutex swap, src/MemlessPoly.cpp:192-231)
+                from .models.modulator import load_dpd_file
+                s.poly_coef_file = str(v)
+                kind, data = load_dpd_file(str(v))
+                if not (self.modulator is not None
+                        and self.modulator.update_dpd(kind, data)):
+                    self._rebuild = True
+                else:
+                    log.info("DPD %s coefficients hot-swapped "
+                             "(no recompile)", kind)
             poly = RemoteControllable("poly")
             poly.add_parameter("coeffile", "Filename containing poly "
                                "coefficients; reloaded when written to.",
-                               lambda: s.poly_coef_file,
-                               setter("poly_coef_file", str, rebuild=True))
+                               lambda: s.poly_coef_file, set_coeffile)
             rcs.enrol(poly)
 
         from .io.sdr import SdrOutput
@@ -437,12 +464,12 @@ class ModRuntime:
 
     # ------------------------------------------------------------------
     def _ensure_modulator(self, layout):
+        from .models import get_modulator
         if self._rebuild and self.modulator is not None:
-            log.info("RC parameter change; rebuilding pipeline")
             old_state = self.state
             old_layout = self.modulator.layout
             try:
-                self.modulator = Modulator(layout, self.settings)
+                self.modulator = get_modulator(layout, self.settings)
             except Exception as e:      # noqa: BLE001
                 # a bad RC-supplied setting (e.g. malformed coef file) must
                 # not take down the transmitter; keep the previous pipeline
@@ -452,6 +479,10 @@ class ModRuntime:
                           "configuration: %s", e)
                 self._rebuild = False
                 return
+            log.info("RC parameter change; pipeline %s",
+                     "reused from compiled cache"
+                     if getattr(self.modulator, "cache_hit", False)
+                     else "rebuilt")
             new_state = self.modulator.init_state()
             if old_layout == layout and old_state is not None:
                 # keep the time-interleaver history across the rebuild
@@ -463,7 +494,7 @@ class ModRuntime:
         if self.modulator is None or self.modulator.layout != layout:
             if self.modulator is not None:
                 log.warning("ensemble layout changed; rebuilding pipeline")
-            self.modulator = Modulator(layout, self.settings)
+            self.modulator = get_modulator(layout, self.settings)
             self.state = self.modulator.init_state()
             self._rebuild = False
 
