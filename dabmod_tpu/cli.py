@@ -52,7 +52,25 @@ def build_settings(argv) -> ModSettings:
     ap.add_argument("-G", dest="txgain", type=float, default=None,
                     help="SDR TX gain (ref: -G)")
     ap.add_argument("-V", action="version", version="dabmod-tpu 0.1.0")
+    # no argument at all: show usage and fail, like the reference's
+    # argc == 1 path (src/ConfigParser.cpp:487-490)
+    if not argv:
+        ap.print_usage(sys.stderr)
+        raise SystemExit("Invalid command line options")
     args = ap.parse_args(argv)
+
+    # -C plus any other option is rejected: the reference refuses to mix a
+    # configuration file with command line arguments
+    # (src/ConfigParser.cpp:624-636)
+    cmdline_used = (any(v is not None for v in (
+        args.digital_gain, args.output_file, args.format, args.gainmode,
+        args.mode, args.tist_offset, args.rate, args.taps_file,
+        args.clock_rate, args.uhd_device, args.txgain, args.batch_tf,
+        args.input)) or args.loop)
+    if args.config is not None and cmdline_used:
+        ap.print_usage(sys.stderr)
+        raise SystemExit("Invalid command line options: both configuration "
+                         "file and command line arguments were given")
 
     # single non-flag argument and no other flags => config file, like the
     # reference's `argc == 2` rule
@@ -146,6 +164,21 @@ def main(argv=None):
             return 1
     from .runtime import ModRuntime
     rt = ModRuntime(s)
+
+    # graceful stop on SIGINT/SIGTERM like the reference's signal handler
+    # (src/DabMod.cpp:87-97): first signal requests a clean stop (bounded
+    # by the readers' sub-second socket tick), a second one is fatal
+    import signal
+
+    def _on_signal(signum, frame):
+        logging.getLogger("dabmod_tpu").info(
+            "signal %d received, stopping", signum)
+        rt.stop()
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGTERM, _on_signal)
+
     code = rt.run()
     if s.show_process_time:
         rt.log_process_time()

@@ -213,11 +213,17 @@ class EtiTcpReader:
         host, port = uri.rsplit(":", 1)
         self.host, self.port = host, int(port)
         self.timeout = timeout
+        # sub-second socket timeout: read_batch polls the stop flag and the
+        # logical deadline at this cadence, so an external stop() takes
+        # effect within ~0.5 s even mid-recv (the logical receive timeout
+        # the caller observes is still `timeout`)
+        self._sock_timeout = min(0.5, timeout)
         self.reconnect_delay = reconnect_delay
         self.sock: socket.socket | None = None
         self._buf = b""
         self._last_rx: float | None = None
         self._closed = False
+        self._stopping = False
         self._outage = False
         self.reconnects = 0
         self._connect()
@@ -237,8 +243,12 @@ class EtiTcpReader:
         try:
             self.sock = socket.create_connection(
                 (self.host, self.port), timeout=self.timeout)
-            self.sock.settimeout(self.timeout)
-            self._last_rx = None
+            self.sock.settimeout(self._sock_timeout)
+            # arm the stream-gap clock at connect time: a peer that
+            # accepts the connection but never sends must be reconnected
+            # after 5x timeout like any other half-closed stream (the
+            # reference counts from connect, lib/Socket.cpp:978-985)
+            self._last_rx = time.monotonic()
         except OSError as e:
             log.debug("TCP input connect to %s:%d failed: %s",
                       self.host, self.port, e)
@@ -252,19 +262,42 @@ class EtiTcpReader:
         log.log(level, "TCP input auto reconnect (%s)", why)
         self._outage = True
         self.reconnects += 1
+        if self._closed or self._stopping:
+            return
         time.sleep(self.reconnect_delay)
-        if not self._closed:
+        if not (self._closed or self._stopping):
             self._connect()
+
+    def request_stop(self):
+        """Make an in-progress or future read_batch return within one
+        sub-second socket-timeout tick (called from another thread)."""
+        self._stopping = True
 
     def read_batch(self, n: int) -> np.ndarray:
         """Up to n frames; an empty batch means a timeout or a reconnect in
         progress, never end-of-stream."""
-        if n > 0 and self.sock is None and not self._closed:
+        if (n > 0 and self.sock is None
+                and not (self._closed or self._stopping)):
             self._reconnect("not connected")
         want = n * ETI_NI_FRAME
+        deadline = time.monotonic() + self.timeout
         try:
-            while len(self._buf) < want and self.sock is not None:
-                chunk = self.sock.recv(65536)
+            while (len(self._buf) < want and self.sock is not None
+                   and not self._stopping):
+                try:
+                    chunk = self.sock.recv(65536)
+                except socket.timeout:
+                    # sub-second tick: check stop, the stream-gap clock
+                    # and the logical timeout, then keep waiting
+                    now = time.monotonic()
+                    if now - self._last_rx > 5 * self.timeout:
+                        # half-closed connection (lib/Socket.cpp:978-985)
+                        self._reconnect("stream gap")
+                        break
+                    if now >= deadline:
+                        log.debug("TCP input timeout")
+                        break
+                    continue
                 if not chunk:
                     self._reconnect("peer closed")
                     break
@@ -273,14 +306,6 @@ class EtiTcpReader:
                 if self._outage:
                     log.info("TCP input reconnected, stream resumed")
                     self._outage = False
-        except socket.timeout:
-            if (self._last_rx is not None
-                    and time.monotonic() - self._last_rx
-                    > 5 * self.timeout):
-                # half-closed connection detection (lib/Socket.cpp:978-985)
-                self._reconnect("stream gap")
-            else:
-                log.debug("TCP input timeout")
         except OSError as e:
             self._reconnect(f"socket error: {e}")
         T = min(len(self._buf) // ETI_NI_FRAME, n)
@@ -293,6 +318,7 @@ class EtiTcpReader:
 
     def close(self):
         self._closed = True
+        self._stopping = True
         if self.sock is not None:
             self.sock.close()
             self.sock = None

@@ -502,8 +502,12 @@ class ModRuntime:
         """Ask the run loop to end after the current batch (live-stream
         inputs never reach EOF, so an external stop is the only clean way
         to end them -- the reference's SIGINT handler plays this role,
-        src/DabMod.cpp:87-97)."""
+        src/DabMod.cpp:87-97).  Stream readers are interrupted mid-recv so
+        the latency is bounded by their sub-second socket tick."""
         self._stop.set()
+        req = getattr(self.reader, "request_stop", None)
+        if req is not None:
+            req()
 
     def _poll_dynamic_offset(self):
         """Re-read the delaymanagement dynamic offset file when it changes

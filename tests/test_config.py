@@ -251,3 +251,29 @@ def test_cli_reference_flags():
     assert s.cic_eq_clock_rate == 400_000_000
     with pytest.raises(SystemExit, match="mutually exclusive"):
         build_settings(["in.eti", "-u", "x", "-f", "out.iq"])
+
+
+def test_cli_version_flag(capsys):
+    with pytest.raises(SystemExit) as e:
+        build_settings(["-V"])
+    assert e.value.code == 0
+    assert "dabmod-tpu" in capsys.readouterr().out
+
+
+def test_cli_no_arguments_shows_usage(capsys):
+    with pytest.raises(SystemExit):
+        build_settings([])
+    assert "usage" in capsys.readouterr().err.lower()
+
+
+def test_cli_config_and_flags_mutually_exclusive(tmp_path):
+    p = tmp_path / "c.ini"
+    p.write_text("[input]\nsource=in.eti\n[fileoutput]\nfilename=o.iq\n"
+                 "format=complexf\n[output]\noutput=file\n")
+    # -C alone is fine
+    build_settings(["-C", str(p)])
+    # -C plus any other option is rejected (src/ConfigParser.cpp:624-636)
+    with pytest.raises(SystemExit):
+        build_settings(["-C", str(p), "-m", "2"])
+    with pytest.raises(SystemExit):
+        build_settings(["-C", str(p), "in.eti"])

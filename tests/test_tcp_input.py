@@ -225,3 +225,83 @@ def test_tcp_mux_restart_with_fct_reset(tmp_path):
     assert rt.num_restarts >= 1         # FCT discontinuity restart taken
     assert rc == 0
     rt.close()
+
+
+def test_tcp_silent_server_reconnects_from_connect():
+    """A peer that accepts the connection but never sends a byte must be
+    treated as half-closed after 5x timeout counted FROM CONNECT (the
+    reference counts from connect, lib/Socket.cpp:978-985) -- not retried
+    as bare timeouts forever."""
+    srv, port = _listener()
+    accepted = []
+
+    def server():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            accepted.append(conn)        # accept, never send
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    r = EtiTcpReader(f"tcp://127.0.0.1:{port}", timeout=0.3,
+                     reconnect_delay=0.05)
+    try:
+        t0 = time.monotonic()
+        deadline = t0 + 10.0
+        while r.reconnects == 0 and time.monotonic() < deadline:
+            assert r.read_batch(1).size == 0
+        # must reconnect after ~5 x 0.3 s = 1.5 s of accepted silence
+        assert r.reconnects >= 1, "silent server never triggered reconnect"
+        assert time.monotonic() - t0 < 8.0
+        while len(accepted) < 2 and time.monotonic() < deadline:
+            time.sleep(0.05)             # server thread accept is async
+        assert len(accepted) >= 2        # it actually re-dialled
+    finally:
+        r.close()
+        srv.close()
+        for c in accepted:
+            c.close()
+
+
+def test_tcp_stop_latency_mid_recv(tmp_path):
+    """stop() during a stalled stream must end the run loop within ~1 s,
+    not after the full receive timeout."""
+    frames = synth_eti_batch(8, mode=1)
+    srv, port = _listener()
+    conns = []
+
+    def server():
+        conn, _ = srv.accept()
+        conns.append(conn)
+        conn.sendall(frames.tobytes())   # then stall forever
+
+    threading.Thread(target=server, daemon=True).start()
+    # long timeout: a blocking recv would previously pin stop() for 8 s
+    s = ModSettings(input_transport="tcp",
+                    input_name=f"tcp://127.0.0.1:{port}",
+                    output="file", output_name=str(tmp_path / "out.iq"),
+                    file_output_format="s16", batch_tf=2,
+                    tcp_timeout=8.0, tcp_reconnect_delay=0.5)
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+    rc = []
+    t = threading.Thread(target=lambda: rc.append(rt.run()), daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    while rt.framecount < 8 and time.monotonic() - t0 < 60:
+        time.sleep(0.05)
+    assert rt.framecount >= 8
+    # the stream is now stalled: the reader is inside its recv loop
+    time.sleep(1.0)
+    t1 = time.monotonic()
+    rt.stop()
+    t.join(timeout=5)
+    stop_latency = time.monotonic() - t1
+    assert not t.is_alive(), "runtime failed to stop"
+    assert stop_latency < 2.0, f"stop took {stop_latency:.1f}s"
+    rt.close()
+    srv.close()
+    for c in conns:
+        c.close()
