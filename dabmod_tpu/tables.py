@@ -339,8 +339,17 @@ class SubchannelParams:
         if self.protection_form:
             lvl_idx = self.tpl & 0x3
             if self.protection_option == 0:
-                return (br // 8) * (12, 8, 6, 4)[lvl_idx]
-            return (br // 32) * (27, 21, 18, 15)[lvl_idx]
+                cu = (br // 8) * (12, 8, 6, 4)[lvl_idx]
+            else:
+                cu = (br // 32) * (27, 21, 18, 15)[lvl_idx]
+            if cu == 0:
+                # EEP-B below 32 kbit/s computes zero CUs; the reference
+                # rejects it ("protection not yet coded",
+                # src/SubchannelSource.cpp framesizeCu)
+                raise ValueError(
+                    f"unsupported EEP profile tpl=0x{self.tpl:x} "
+                    f"at {br} kbit/s")
+            return cu
         key = (br, self.protection_level)
         if key not in UEP_SUBCH_CU:
             raise ValueError(f"unsupported UEP profile {key}")

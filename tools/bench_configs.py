@@ -26,6 +26,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+_PEAKS = None
+
+
+def measure_peaks():
+    """Measured single-chip peaks for the roofline: matmul FLOP/s at the
+    pipeline's MXU precision (HIGH) and HBM stream bandwidth.  Same
+    readback-forced marginal-slope methodology as the bench itself
+    (block_until_ready does not wait on the axon transport)."""
+    global _PEAKS
+    if _PEAKS is not None:
+        return _PEAKS
+    import jax
+    import jax.numpy as jnp
+
+    def slope(step, x, n1=4, n2=16):
+        def run(n):
+            y = x
+            t0 = time.perf_counter()
+            for _ in range(n):
+                y = step(y)
+            float(y[0, 0])
+            return time.perf_counter() - t0
+        run(2)                                   # warm
+        ts = []
+        for _ in range(3):
+            t1, t2 = run(n1), run(n2)
+            ts.append((t2 - t1) / (n2 - n1))
+        ts.sort()
+        return ts[1]
+
+    k = 4096
+    # HIGH precision: the pipeline's einsum/FFT matmuls run 3-pass bf16,
+    # so this peak is the speed of light of the *chosen* precision
+    mm = jax.jit(lambda a: jnp.tanh(
+        jnp.matmul(a, a, precision=jax.lax.Precision.HIGH)) * 1e-3
+        + a * 1e-6)
+    a = jnp.ones((k, k), jnp.float32) * 1e-3
+    t_mm = slope(mm, a)
+    # per iteration: one k^3 matmul (the tanh/elementwise ride along)
+    peak_flops = 2 * k**3 / t_mm
+
+    n = 64 * 1024 * 1024                         # 256 MB per array
+    bw = jax.jit(lambda a: a * 1.0000001 + 0.5)
+    b = jnp.ones((1, n), jnp.float32)
+    t_bw = slope(bw, b)
+    peak_bw = 2 * n * 4 / t_bw                   # read + write
+
+    _PEAKS = {"matmul_flops_per_s": peak_flops,
+              "hbm_bytes_per_s": peak_bw,
+              "matmul_ms": t_mm * 1e3, "stream_ms": t_bw * 1e3}
+    return _PEAKS
+
+
 def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0, specs=None):
     import jax
     import jax.numpy as jnp
@@ -105,7 +158,11 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0, specs=None):
     # real-time multiple: how many live transmitters this chip could feed
     tf_duration = p.tf_samples / 2_048_000.0
     rt = tf_per_s * tf_duration
-    return {
+
+    # roofline accounting: XLA's compiled cost analysis gives the
+    # executable's FLOPs and HBM bytes; against the measured chip peaks
+    # this says how close the step runs to the machine floor
+    row = {
         "config": name,
         "mode": mode,
         "out_rate": out_rate,
@@ -114,6 +171,36 @@ def bench_one(name, mode, settings_kw, batch_tf, seconds=3.0, specs=None):
         "n_subchannels": len(specs),
         "compile_s": round(compile_s, 1),
     }
+    try:
+        peaks = measure_peaks()
+        ca = step.lower(staged[0][0], staged[0][1], m.init_state(),
+                        cg, vk).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        n_out = batch_tf * m.tf_samples_out
+        step_s = batch_tf / tf_per_s
+        t_comp = flops / peaks["matmul_flops_per_s"]
+        # "bytes accessed" counts every fusion operand/output at the HLO
+        # level -- an UPPER bound on real HBM traffic (fusion reuse makes
+        # the true number smaller).  effective_bw_frac = that upper bound
+        # streamed in the measured step time, as a fraction of the
+        # measured chip stream peak: a value near or above 1 means the
+        # step is pinned to the HBM roof (the true traffic cannot exceed
+        # peak * step time).
+        eff_bw = bytes_acc / step_s
+        row.update({
+            "flops_per_sample": round(flops / n_out, 1),
+            "hbm_bytes_per_sample_ub": round(bytes_acc / n_out, 1),
+            "step_ms": round(step_s * 1e3, 3),
+            "compute_floor_ms": round(t_comp * 1e3, 3),
+            "utilisation_mxu": round(t_comp / step_s, 3),
+            "effective_bw_frac": round(
+                eff_bw / peaks["hbm_bytes_per_s"], 2),
+        })
+    except Exception as e:                        # noqa: BLE001
+        row["roofline_error"] = str(e)
+    return row
 
 
 CONFIGS = [

@@ -253,6 +253,85 @@ int main(int argc, char** argv) {
         }
     }
 
+    // ---- TII exhaustive sweep: the A_{c,p} carrier mask for every
+    // comb (0-23) x pattern (0-69) x mode (1,2) -- 3360 table rows
+    // (src/TII.cpp:106-337).  The mask is recovered exactly by feeding
+    // in[i] = i+1 through process(): A_{c,p}(i) <=> out[i]==i+1 and
+    // out[i+1]==i+1 (carriers enable in pairs from one source carrier,
+    // and adjacent A_{c,p} are never both set).  Packed LSB-first.
+    for (unsigned mode : {1u, 2u}) {
+        const size_t carriers = (mode == 1) ? 1536 : 384;
+        std::vector<uint8_t> blob;
+        for (int comb = 0; comb < 24; comb++) {
+            for (int pat = 0; pat < 70; pat++) {
+                tii_config_t conf;
+                conf.enable = true;
+                conf.comb = comb;
+                conf.pattern = pat;
+                conf.old_variant = false;
+                TII tii(mode, conf, false);
+                Buffer in, out;
+                in.setLength(carriers * sizeof(complexf));
+                complexf* p = (complexf*)in.getData();
+                for (size_t i = 0; i < carriers; i++)
+                    p[i] = complexf((float)(i + 1), 0.0f);
+                tii.process(&in, &out);
+                const complexf* o = (const complexf*)out.getData();
+                std::vector<uint8_t> bits((carriers + 7) / 8, 0);
+                for (size_t i = 0; i + 1 < carriers; i++) {
+                    if (o[i] == complexf((float)(i + 1), 0.0f) &&
+                        o[i + 1] == complexf((float)(i + 1), 0.0f)) {
+                        bits[i / 8] |= 1 << (i % 8);
+                    }
+                }
+                blob.insert(blob.end(), bits.begin(), bits.end());
+            }
+        }
+        dump("tii_acp_m" + std::to_string(mode), "u8",
+             blob.data(), blob.size(), blob.size());
+    }
+
+    // ---- UEP/EEP puncturing-rule sweep: the complete rule set and CU
+    // size for every protection profile the reference accepts
+    // (src/SubchannelSource.cpp:84-958).  Binary rows of u32:
+    // [tpl, bitrate, cu, nrules, (len, pattern) x nrules]
+    {
+        std::vector<uint32_t> rows;
+        std::vector<uint8_t> tpls;
+        // short form (UEP): tpl 0..63; long form (EEP): 0x20..0x3f
+        for (int tpl = 0; tpl < 64; tpl++) tpls.push_back(tpl);
+        const int bitrates[] = {8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                                112, 128, 160, 192, 224, 256, 320, 384};
+        for (int br : bitrates) {
+            for (uint8_t tpl : tpls) {
+                try {
+                    // STL is in 64-bit words: framesize = stl*8 bytes,
+                    // bitrate = framesize/3 kbps => stl = bitrate*3/8
+                    SubchannelSource src(0, br * 3 / 8, tpl);
+                    // assemble the whole row before appending: any of
+                    // these accessors may throw for an undefined profile
+                    std::vector<uint32_t> row;
+                    row.push_back(tpl);
+                    row.push_back(br);
+                    row.push_back((uint32_t)src.framesizeCu());
+                    const auto& rules = src.get_rules();
+                    row.push_back((uint32_t)rules.size());
+                    for (const auto& r : rules) {
+                        row.push_back((uint32_t)r.length());
+                        row.push_back(r.pattern());
+                    }
+                    rows.insert(rows.end(), row.begin(), row.end());
+                } catch (const std::exception&) {
+                    // profile not defined for this bitrate
+                }
+            }
+        }
+        dump("subch_rules_sweep", "u8", rows.data(),
+             rows.size() * sizeof(uint32_t), rows.size() * sizeof(uint32_t));
+    }
+
+    // (phase-ref vectors for all four modes are dumped earlier)
+
     // ---- End-to-end front ends: ETI payloads -> diff-mod symbol stream ----
     // Modes 2, 3 and 4, one EEP-A3 64kbps sub-channel, 2 TFs each
     // (mode 4 collects 2 CIFs per TF, so it consumes 4 ETI frames).
