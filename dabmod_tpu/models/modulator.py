@@ -229,7 +229,8 @@ class Modulator:
             self._ofdm_backend = build_ofdm_backend(
                 p.spacing, s.enable_cfr, s.cfr_clip, s.cfr_error_clip,
                 precision=fft_mod._PRECISION,
-                interpret=(backend == "pallas-interpret"))
+                interpret=(backend == "pallas-interpret"),
+                carrier_map=(self._bin_src, self._bin_valid))
 
         # f32 planes contract (see config.device_interleave): the runtime
         # writer interleaves pairs host-side at memcpy speed
@@ -352,12 +353,19 @@ class Modulator:
             fic_out = fec.fec_path(fic_bits, self._fic_prbs, self._fic_nbits,
                                    self._fic_punct)
 
+            # NOTE: a stacked [T, S, n_max] formulation of scramble/conv/TI
+            # (one op set for all sub-channels) was measured 4x SLOWER on
+            # the chip at 17 sub-channels -- the padded big-array passes
+            # and lane-shifted slices cost more HBM traffic than the
+            # per-sub-channel unroll's op-dispatch overhead.  The unroll
+            # stays; see BENCH notes for the floor accounting.
             cif_parts = []
             new_hist = []
             for i in range(len(self.layout.subchannels)):
                 bits = fec.unpack_bits(subch_bytes[i])
                 pb = fec.fec_path(bits, self._subch_prbs[i],
-                                  self._subch_nbits[i], self._subch_punct[i])
+                                  self._subch_nbits[i],
+                                  self._subch_punct[i])
                 ti, h = self._time_interleave(pb, ti_history[i],
                                               self._subch_masks[i])
                 cif_parts.append(ti)
@@ -447,12 +455,15 @@ class Modulator:
                                                              jnp.int32)}
 
         with jax.named_scope("ofdm_ifft"):
-            bins = ofdm.to_bins_slices(symbols, p.nb_carriers, p.spacing)
             kstats = None
             if self._ofdm_backend is not None:
-                # fused VMEM kernel: IFFT (+ CFR + per-symbol statistics)
-                td, kstats = self._ofdm_backend(bins)
+                # fused VMEM kernel: IFFT (+ CFR + per-symbol statistics);
+                # takes carrier-order symbols directly -- bin placement and
+                # digit reorder are one composed gather inside the backend
+                td, kstats = self._ofdm_backend(symbols)
             else:
+                bins = ofdm.to_bins_slices(
+                    symbols, p.nb_carriers, p.spacing)
                 td = ofdm.ofdm_ifft(bins)        # planes [B, S, spacing]
 
         stats = {}
@@ -517,17 +528,21 @@ class Modulator:
                 mer_state["mer_index"] = (state["mer_index"] + B) % S
 
         with jax.named_scope("gain"):
-            gains = ofdm.compute_gain(td, self.settings.gain_mode, var_k)
-            td = ofdm.apply_gain(td, gains, constant_gain)
+            # gains fold into the guard-interval assembly below: the
+            # reduction pass stays, the separate read-modify-write
+            # apply-gain pass over the full symbol array disappears
+            gains = ofdm.compute_gain(
+                td, self.settings.gain_mode, var_k) * constant_gain
 
         with jax.named_scope("guard_interval"):
             if self.settings.ofdm_window_overlap == 0:
                 iq = ofdm.guard_interval_unwindowed(
-                    td, p.null_size, p.sym_size)
+                    td, p.null_size, p.sym_size, gains=gains)
             else:
                 iq = ofdm.guard_interval_windowed(
                     td, p.null_size, p.sym_size,
-                    self.settings.ofdm_window_overlap)  # planes [B, tf]
+                    self.settings.ofdm_window_overlap,
+                    gains=gains)                    # planes [B, tf]
 
         if self._fir_taps is not None:
             with jax.named_scope("fir"):

@@ -147,9 +147,36 @@ def assemble_cif(subch_bits: list[jnp.ndarray], offsets_bits: list[int],
     subch_bits: per-subchannel [T, framesize_cu*64] bit arrays
     offsets_bits: static start offsets (start_address * 64)
     filler_bits: [CIF_BITS] PRBS filler
+
+    Non-overlapping sub-channels (every real mux) assemble as ONE concat
+    of [filler gap, sub, filler gap, ...] pieces -- a single pass over the
+    CIF, where patching one sub-channel at a time rewrites the full array
+    S times (a 17-sub-channel ensemble would move ~17x the bits).
     """
     T = subch_bits[0].shape[0] if subch_bits else None
-    cif = jnp.broadcast_to(filler_bits, (T, filler_bits.shape[0])) \
+    n = filler_bits.shape[0]
+    order = sorted(range(len(subch_bits)), key=lambda i: offsets_bits[i])
+    disjoint = all(
+        offsets_bits[order[k]] + subch_bits[order[k]].shape[1]
+        <= offsets_bits[order[k + 1]]
+        for k in range(len(order) - 1))
+    if T is not None and subch_bits and disjoint \
+            and offsets_bits[order[-1]] \
+            + subch_bits[order[-1]].shape[1] <= n:
+        pieces = []
+        pos = 0
+        fill = jnp.broadcast_to(filler_bits, (T, n))
+        for i in order:
+            off, sb = offsets_bits[i], subch_bits[i]
+            if off > pos:
+                pieces.append(fill[:, pos:off])
+            pieces.append(sb)
+            pos = off + sb.shape[1]
+        if pos < n:
+            pieces.append(fill[:, pos:])
+        return jnp.concatenate(pieces, axis=1)
+    # overlapping/degenerate layouts: sequential overlay like the reference
+    cif = jnp.broadcast_to(filler_bits, (T, n)) \
         if T is not None else filler_bits[None]
     for sb, off in zip(subch_bits, offsets_bits):
         cif = jnp.concatenate(

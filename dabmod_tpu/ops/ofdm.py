@@ -206,28 +206,44 @@ def apply_gain(symbols, gains: jnp.ndarray, constant_gain):
 # ---------------------------------------------------------------------------
 
 
-def guard_interval_unwindowed(symbols, null_size: int, sym_size: int):
+def guard_interval_unwindowed(symbols, null_size: int, sym_size: int,
+                              gains=None):
     """Gather-free cyclic-prefix insertion for window_overlap == 0
     (ref: src/GuardIntervalInserter.cpp:301-318): each output symbol is
     [tail of symbol, full symbol], expressed as slices + concat.
-    symbols: (re, im) planes [B, S, spacing] -> [B, tf_samples]."""
+    symbols: (re, im) planes [B, S, spacing] -> [B, tf_samples].
+
+    `gains` ([..., S], already including the constant gain) folds the
+    GainControl multiply into each concat operand: the elementwise
+    producer fuses into the assembly, deleting the separate
+    read-modify-write pass over the full symbol array."""
     spacing = symbols[0].shape[-1]
     null_pre = null_size - spacing
     sym_pre = sym_size - spacing
 
     def one(x):
         lead = x.shape[:-2]
-        null = jnp.concatenate(
-            [x[..., 0, spacing - null_pre:], x[..., 0, :]], axis=-1)
-        data = jnp.concatenate(
-            [x[..., 1:, spacing - sym_pre:], x[..., 1:, :]], axis=-1)
+        if gains is not None:
+            g0 = gains[..., 0, None]
+            gd = gains[..., 1:, None]
+            null = jnp.concatenate(
+                [x[..., 0, spacing - null_pre:] * g0,
+                 x[..., 0, :] * g0], axis=-1)
+            data = jnp.concatenate(
+                [x[..., 1:, spacing - sym_pre:] * gd,
+                 x[..., 1:, :] * gd], axis=-1)
+        else:
+            null = jnp.concatenate(
+                [x[..., 0, spacing - null_pre:], x[..., 0, :]], axis=-1)
+            data = jnp.concatenate(
+                [x[..., 1:, spacing - sym_pre:], x[..., 1:, :]], axis=-1)
         return jnp.concatenate(
             [null, data.reshape(*lead, -1)], axis=-1)
     return cplx.pmap(one, symbols)
 
 
 def guard_interval_windowed(symbols, null_size: int, sym_size: int,
-                            ov: int):
+                            ov: int, gains=None):
     """Gather-free raised-cosine windowed guard-interval insertion
     (ref: src/GuardIntervalInserter.cpp:96-299).
 
@@ -235,7 +251,11 @@ def guard_interval_windowed(symbols, null_size: int, sym_size: int,
     of two weighted slices shifted by one symbol -- all expressible as
     batched slices over the symbol axis.  symbols: (re, im) planes
     [B, S, spacing] with S = nb_symbols + 1 (NULL first).
-    """
+
+    `gains` ([B, S], already including the constant gain) folds the
+    GainControl multiply into each slice operand so it fuses into the
+    assembly; every overlap sample takes the gain of the symbol it came
+    from, exactly like gain-before-GI in the reference chain."""
     B, S, sp = symbols[0].shape
     npre = null_size - sp
     win = 0.5 * (1.0 - np.cos(np.pi * np.arange(2 * ov) / (2 * ov - 1)))
@@ -245,25 +265,39 @@ def guard_interval_windowed(symbols, null_size: int, sym_size: int,
     fall1 = jnp.asarray(win[2 * ov - 1:ov - 1:-1])  # 1 -> 0.5
     fall2 = jnp.asarray(win[ov - 1::-1])            # 0.5 -> 0
 
+    if gains is None:
+        g_all = g_null = g_data = None
+    else:
+        g_all = gains[..., None]                    # [B, S, 1]
+        g_null = g_all[:, 0]                        # [B, 1]
+        g_data = g_all[:, 1:]                       # [B, S-1, 1]
+
     def one(x):
         data = x[:, 1:]                             # [B, S-1, sp]
         # per-data-symbol pieces
         head_rise = data[:, :, 2 * sp - sym_size:2 * sp - sym_size + ov] \
-            * rise2
+            * (rise2 if gains is None else rise2 * g_data)
         # suffix of the previous symbol (NULL for s=1)
-        head_suffix = x[:, :-1, :ov] * fall2
+        head_suffix = x[:, :-1, :ov] \
+            * (fall2 if gains is None else fall2 * g_all[:, :-1])
         head = head_rise + head_suffix              # [B, S-1, ov]
 
         mid_prefix = data[:, :, 2 * sp - sym_size + ov:sp]
         body = data[:, :, :sp - ov]
+        if gains is not None:
+            mid_prefix = mid_prefix * g_data
+            body = body * g_data
 
         # tail: own falling edge + next symbol's first rise half; the last
         # symbol keeps its unwindowed tail (no successor)
-        tail_fall = data[:, :-1, sp - ov:] * fall1
+        tail_fall = data[:, :-1, sp - ov:] \
+            * (fall1 if gains is None else fall1 * g_data[:, :-1])
         next_rise = data[:, 1:, 2 * sp - sym_size - ov:2 * sp - sym_size] \
-            * rise1
-        tails = jnp.concatenate(
-            [tail_fall + next_rise, data[:, -1:, sp - ov:]], axis=1)
+            * (rise1 if gains is None else rise1 * g_data[:, 1:])
+        last_tail = data[:, -1:, sp - ov:]
+        if gains is not None:
+            last_tail = last_tail * g_data[:, -1:]
+        tails = jnp.concatenate([tail_fall + next_rise, last_tail], axis=1)
 
         blocks = jnp.concatenate([head, mid_prefix, body, tails], axis=2)
         assert blocks.shape[2] == sym_size
@@ -271,10 +305,15 @@ def guard_interval_windowed(symbols, null_size: int, sym_size: int,
         # NULL symbol block: plain prefix + body, own falling edge + first
         # data symbol's rise first half on the last ov samples
         null = x[:, 0]
-        null_tail = null[:, sp - ov:] * fall1 \
-            + data[:, 0, 2 * sp - sym_size - ov:2 * sp - sym_size] * rise1
-        null_block = jnp.concatenate(
-            [null[:, sp - npre:], null[:, :sp - ov], null_tail], axis=1)
+        null_tail = null[:, sp - ov:] \
+            * (fall1 if gains is None else fall1 * g_null) \
+            + data[:, 0, 2 * sp - sym_size - ov:2 * sp - sym_size] \
+            * (rise1 if gains is None else rise1 * g_data[:, 0])
+        null_pre_body = jnp.concatenate(
+            [null[:, sp - npre:], null[:, :sp - ov]], axis=1)
+        if gains is not None:
+            null_pre_body = null_pre_body * g_null
+        null_block = jnp.concatenate([null_pre_body, null_tail], axis=1)
 
         return jnp.concatenate(
             [null_block, blocks.reshape(B, -1)], axis=1)

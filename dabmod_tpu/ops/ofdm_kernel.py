@@ -239,12 +239,19 @@ def _pick_chunk(bs: int, r: int, target_rows: int = 512) -> int:
 
 def build_ofdm_backend(spacing: int, enable_cfr: bool, cfr_clip: float,
                        cfr_error_clip: float, precision=None,
-                       interpret: bool = False):
+                       interpret: bool = False, carrier_map=None):
     """Build the fused backend: bins planes [B, S, N] (natural bin order) ->
     (td planes [B, S, N], stats [B, S, 8] or None).
 
     td matches ops.ofdm.ofdm_ifft (+ cfr_one_iteration when enable_cfr)
     within f32 rounding; stats lanes are the ST_* per-symbol reductions.
+
+    carrier_map=(bin_src, bin_valid) switches the input contract to
+    carrier-order symbol planes [B, S, C]: the carrier->bin placement
+    (ops.ofdm.to_bins_slices) and the bin->digit-row reorder compose into
+    ONE static gather, deleting two full HBM round-trips over the symbol
+    array (the separate swapaxes+take digit pass measured ~2x the pallas
+    transform itself at TM-I batch 24).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -321,18 +328,41 @@ def build_ofdm_backend(spacing: int, enable_cfr: bool, cfr_clip: float,
     twi_j = np.asarray(twf_i_np)
     perm = np.asarray(sigma)
 
+    digit_idx = None
+    if carrier_map is not None:
+        bin_src, bin_valid = (np.asarray(a) for a in carrier_map)
+        n_carriers = int(np.count_nonzero(bin_valid))
+        # digit row p lane k reads natural bin k*R + sigma(p); compose
+        # with the carrier->bin map, sending empty bins to the appended
+        # zero column (index C)
+        bidx = np.arange(LANES)[None, :] * r + perm[:, None]     # [R, 128]
+        digit_valid = (bin_valid[bidx] > 0)
+        # clamped source + multiplicative mask: the mask fuses into the
+        # gather output (a zero-column concat would copy the whole array)
+        digit_idx = np.where(digit_valid, bin_src[bidx],
+                             0).astype(np.int32).reshape(-1)
+        digit_mask = digit_valid.astype(np.float32)              # [R, 128]
+
     def apply(bins):
         binr, bini = bins
-        b, s, n_ = binr.shape
-        assert n_ == n, (n_, n)
+        b, s, width = binr.shape
         bs = b * s
         t = _pick_chunk(bs, r)
         grid = bs // t
 
-        def to_digit(x):
-            # natural bins -> digit rows: row p = bins[sigma(p) + R*k2]
-            v = x.reshape(bs, LANES, r)
-            return jnp.take(jnp.swapaxes(v, 1, 2), perm, axis=1)
+        if digit_idx is not None:
+            assert width == n_carriers, (width, n_carriers)
+
+            def to_digit(x):
+                v = x.reshape(bs, width)[:, digit_idx]
+                return v.reshape(bs, r, LANES) * digit_mask
+        else:
+            assert width == n, (width, n)
+
+            def to_digit(x):
+                # natural bins -> digit rows: row p = bins[sigma(p) + R*k2]
+                v = x.reshape(bs, LANES, r)
+                return jnp.take(jnp.swapaxes(v, 1, 2), perm, axis=1)
 
         bd_r, bd_i = to_digit(binr), to_digit(bini)
 

@@ -42,8 +42,16 @@ def make_input(path: str) -> None:
 
 
 def measure_transport(n_tf: int = BATCH_TF) -> float:
-    """Steady-state D2H MB/s for one batch-shaped incompressible array
-    (the binding constraint of the tunnelled environment)."""
+    """Steady-state D2H MB/s for batch-shaped incompressible arrays.
+
+    The pipeline's writer fetches batch after batch with no idle gap, so
+    the honest ceiling is a *continuous burst* of fetches (one-array
+    probes leave the tunnel idle between copies and under-measure, which
+    made pipeline_efficiency read > 1).  A 2-thread variant additionally
+    captures any copy overlap the runtime's fetch machinery can reach;
+    the ceiling is the best of the two."""
+    import concurrent.futures as cf
+
     import jax
     rng = np.random.default_rng(0)
 
@@ -55,12 +63,19 @@ def measure_transport(n_tf: int = BATCH_TF) -> float:
 
     np.asarray(fresh())              # warm the per-shape transfer program
     nbytes = n_tf * 196608 * 4
+    k = 8
     best = 0.0
-    for _ in range(5):
-        a = fresh()
-        t0 = time.perf_counter()
-        np.asarray(a)
-        best = max(best, nbytes / (time.perf_counter() - t0))
+    for threads in (1, 2):
+        for _ in range(3):
+            arrs = [fresh() for _ in range(k)]
+            t0 = time.perf_counter()
+            if threads == 1:
+                for a in arrs:
+                    np.asarray(a)
+            else:
+                with cf.ThreadPoolExecutor(threads) as ex:
+                    list(ex.map(np.asarray, arrs))
+            best = max(best, k * nbytes / (time.perf_counter() - t0))
     return best / 1e6
 
 
@@ -145,11 +160,14 @@ def main():
         "metric": "end-to-end streaming x-real-time (ETI in -> wire file out)"
                   ", TM-I 2-subchannel ensemble, batch_tf=24",
         "transport_note": "tunnelled single-chip environment; D2H bandwidth "
-                          "is the binding constraint and varies 30-160 MB/s "
-                          "run to run, so the ceiling is re-measured "
-                          "bracketing each config (mean of before/after); "
-                          "efficiency > 1.0 means the pipeline's overlapped "
-                          "async copies outran the serial ceiling probe",
+                          "is the binding constraint and varies run to run, "
+                          "so the ceiling is re-measured bracketing each "
+                          "config (mean of before/after).  The probe "
+                          "streams a continuous burst of batch-shaped "
+                          "fetches (serial and 2-thread, best of both) -- "
+                          "the same access pattern as the pipeline's "
+                          "fetch thread -- so efficiency <= 1 by "
+                          "construction",
     }
 
     def with_ceiling(fn, bytes_per_sample):
@@ -170,7 +188,7 @@ def main():
     results["tcp_s16"] = bench_tcp(inp, "s16")
     results["file_u8"] = with_ceiling(lambda: bench_file(inp, "u8"), 2)
 
-    out = os.path.join(REPO, "BENCH_r04_e2e.json")
+    out = os.path.join(REPO, "BENCH_r05_e2e.json")
     if "--json" in sys.argv:
         out = sys.argv[sys.argv.index("--json") + 1]
     with open(out, "w") as f:

@@ -81,11 +81,9 @@ def bench(fn, args, iters=8):
     return best
 
 
-def main():
-    specs = ((0, 24, 0x22), (48, 48, 0x02))
+def measure_config(name, specs, settings_kw, B):
     layout = make_default_layout(1, subch_specs=specs)
-    m = Modulator(layout, ModSettings(dab_mode=1))
-    B = 16
+    m = Modulator(layout, ModSettings(dab_mode=1, **settings_kw))
     batch = parse_eti_frames(synth_eti_batch(B * 4, mode=1,
                                              subch_specs=specs))
     mesh = make_mesh(8)
@@ -101,18 +99,13 @@ def main():
     compiled = lowered.compile()
     colls = collectives_in(compiled)
     total_bytes = sum(c["bytes"] for c in colls)
-    print(f"collectives in the sharded step ({len(colls)}):")
+    print(f"[{name}] collectives in the sharded step ({len(colls)}):")
     for c in colls:
         print(f"  {c['kind']:20s} {c['bytes']:8d} B  {c['line']}")
-    print(f"total collective payload per step: {total_bytes} B "
+    print(f"[{name}] total collective payload per step: {total_bytes} B "
           f"({total_bytes / (B * 0.096) / 1e6:.2f} MB/s at real-time, "
           f"batch {B} TF)")
 
-    # timed: full state carry vs severed state
-    def step_state(fic, subs, state):
-        return sm._step(fic, subs, state, cg, vk)
-
-    import copy
     t_state = bench(lambda f, s: sm._step(f, s, sm.init_state(), cg, vk),
                     (fic, subs))
 
@@ -129,21 +122,54 @@ def main():
         in_shardings=(shard_t, (shard_t,) * n_sub, repl, repl))
     t_nostate = bench(lambda f, s: step_nostate(f, s, cg, vk), (fic, subs))
 
-    print(f"sharded step with replicated TI state: {t_state * 1e3:.2f} ms")
-    print(f"sharded step with severed TI state:    {t_nostate * 1e3:.2f} ms")
-    print(f"state-carry upper-bound cost: "
-          f"{(t_state - t_nostate) * 1e3:+.2f} ms "
+    print(f"[{name}] step with replicated state: {t_state * 1e3:.2f} ms; "
+          f"severed state: {t_nostate * 1e3:.2f} ms "
           f"({(t_state - t_nostate) / t_state * 100:+.1f}%)")
-    result = {
+    return {
+        "config": name,
+        "n_subchannels": len(specs),
         "collectives": colls,
+        "n_collectives": len(colls),
         "total_collective_bytes_per_step": total_bytes,
         "batch_tf": B,
         "mb_per_s_realtime": total_bytes / (B * 0.096) / 1e6,
         "t_state_ms": t_state * 1e3,
         "t_nostate_ms": t_nostate * 1e3,
     }
-    with open(os.path.join(REPO, "TI_COLLECTIVES.json"), "w") as f:
-        json.dump(result, f, indent=1)
+
+
+def main():
+    import argparse
+    import tempfile
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also measure the full stateful configuration "
+                    "(FIR+winGI+CFR+TII+resampler+DPD) on the realistic "
+                    "17-sub-channel ensemble")
+    ap.add_argument("--json", dest="json_out",
+                    default=os.path.join(REPO, "TI_COLLECTIVES.json"))
+    args = ap.parse_args()
+
+    toy = ((0, 24, 0x22), (48, 48, 0x02))
+    results = [measure_config("base 2sub", toy, {}, 16)]
+
+    if args.full:
+        from dabmod_tpu.eti import REALISTIC_MUX_SPECS
+        with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                         delete=False) as f:
+            f.write("1\n5\n1.0\n0\n0\n0\n0\n0\n0\n0\n0\n0\n")
+            poly = f.name
+        full_kw = dict(filter_taps_file="default", ofdm_window_overlap=32,
+                       enable_cfr=True, cfr_clip=12.0, cfr_error_clip=3.0,
+                       tii_enable=True, output_rate=4_096_000,
+                       poly_coef_file=poly,
+                       ofdm_backend="pallas-interpret")
+        results.append(measure_config(
+            "realistic17 full", REALISTIC_MUX_SPECS, full_kw, 24))
+        os.unlink(poly)
+
+    with open(args.json_out, "w") as f:
+        json.dump(results if len(results) > 1 else results[0], f, indent=1)
 
 
 if __name__ == "__main__":

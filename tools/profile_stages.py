@@ -120,7 +120,11 @@ def main():
             f.write("1\n5\n1.0\n0\n0\n0\n0\n0\n0\n0\n0\n0\n")
             kw["poly_coef_file"] = f.name
 
-    specs = ((0, 24, 0x22), (48, 48, 0x02))
+    if kw.pop("__realistic__", False):
+        from dabmod_tpu.eti import REALISTIC_MUX_SPECS
+        specs = REALISTIC_MUX_SPECS
+    else:
+        specs = ((0, 24, 0x22), (48, 48, 0x02))
     layout = make_default_layout(mode, subch_specs=specs)
     # production contract (same as tools/bench_configs.py): f32 planes,
     # host-side interleave
