@@ -65,8 +65,12 @@ class ModSettings:
     cfr_error_clip: float = 0.0
     # fft_engine=kiss reproduces the reference's fixed-point configuration
     # (src/DabModulator.cpp:144-241): no GainControl, raw Q1.14 s16 output
-    # with the KISS FFT's 1/N scaling; FIR/DPD/resampler/CFR rejected
-    fft_engine: str = "fftw"             # fftw | kiss
+    # with the KISS FFT's 1/N scaling; FIR/DPD/resampler/CFR rejected.
+    # fft_engine=dexter offloads the transform to the PrecisionWave FFT
+    # accelerator (io/dexter_fft.py; src/OfdmGenerator.cpp:581-789): the
+    # device emits Q1.14 carrier symbols, the host streams them through
+    # the accelerator and the wide fixed-point GI + s16 converter.
+    fft_engine: str = "fftw"             # fftw | kiss | dexter
     # OFDM transform backend: "auto" uses the fused Pallas VMEM kernel
     # (ops/ofdm_kernel.py) on real TPU hardware and the XLA matmul path
     # elsewhere; "xla" / "pallas" / "pallas-interpret" force a choice.
@@ -313,8 +317,8 @@ def parse_ini(path: str) -> ModSettings:
     s.show_process_time = getbool("log", "show_process_time", True)
     s.batch_tf = getint("modulator", "batch_tf", 8)
     s.fft_engine = get("modulator", "fft_engine", "fftw").lower()
-    if s.fft_engine not in ("fftw", "kiss"):
-        # ref: src/ConfigParser.cpp:66-84 (dexter needs its FPGA hardware)
+    if s.fft_engine not in ("fftw", "kiss", "dexter"):
+        # ref: src/ConfigParser.cpp:66-84
         raise ValueError(f"modulator.fft_engine invalid: {s.fft_engine}")
     s.normalise_for_output()
     return s

@@ -17,6 +17,8 @@ parallel over the TF axis, which is also the multi-chip sharding axis.
 """
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +27,8 @@ from .. import tables
 from ..config import ModSettings
 from ..eti import EnsembleLayout, EtiFrameBatch
 from ..ops import cplx, fec, ofdm, filters
+
+log = logging.getLogger("dabmod.modulator")
 
 
 class Modulator:
@@ -43,7 +47,11 @@ class Modulator:
         # Q1.14 output, KISS 1/N transform scaling, no GainControl, and the
         # float-only back-end stages rejected (src/DabModulator.cpp:144-263)
         self._kiss = s.fft_engine == "kiss"
-        if self._kiss:
+        # fft_engine=dexter: same fixed-point front end, but the transform
+        # and everything after it run host-side through the FPGA FFT
+        # accelerator chain (io/dexter_fft.py; src/DabModulator.cpp:214-277)
+        self._dexter = s.fft_engine == "dexter"
+        if self._kiss or self._dexter:
             if s.filter_taps_file:
                 raise ValueError("fixed point doesn't support fir filter")
             if s.poly_coef_file:
@@ -217,6 +225,25 @@ class Modulator:
             # int16 pairs, identical in memory to interleaved s16
             self._wire_fmt = "s16"
 
+        # host back end applied by the runtime's fetch thread to the
+        # fetched device output (None for the on-device chains).  For
+        # dexter the device emits Q1.14 symbols [2, B, S, C] and the chain
+        # produces the s16 wire (accelerator + wide GI + FormatConverter).
+        self.host_backend = None
+        if self._dexter:
+            from ..io import dexter_fft
+            try:
+                import iio as _iio  # noqa: PLC0415
+            except ImportError:
+                _iio = None
+            if _iio is None or not hasattr(_iio, "Context"):
+                log.warning("fft_engine=dexter: vendor libiio absent -- "
+                            "using the software accelerator model")
+                _iio = dexter_fft.MockFftAcceleratorIio(p.spacing)
+            self.host_backend = dexter_fft.DexterOfdmChain(
+                p, s.ofdm_window_overlap, iio_module=_iio)
+            self._wire_fmt = "s16"
+
         # --- fused OFDM/CFR backend (Pallas VMEM kernel on TPU) ---
         self._ofdm_backend = None
         backend = s.ofdm_backend
@@ -235,7 +262,8 @@ class Modulator:
         # f32 planes contract (see config.device_interleave): the runtime
         # writer interleaves pairs host-side at memcpy speed
         self.emits_planes = (self._wire_fmt is None
-                             and not s.device_interleave and not self._kiss)
+                             and not s.device_interleave
+                             and not self._kiss and not self._dexter)
 
         # swappable time-interleaver implementation: ShardedModulator
         # substitutes the minimal-halo shard_map form under a mesh
@@ -420,6 +448,22 @@ class Modulator:
             if self._cic_taps is not None:
                 symbols = cplx.pmap(
                     lambda x: x * self._cic_taps[None, None, :], symbols)
+
+        if self._dexter:
+            # fft_engine=dexter: the transform belongs to the FPGA FFT
+            # accelerator -- the device's job ends at Q1.14 carrier
+            # symbols; the runtime's fetch thread runs the accelerator +
+            # wide GI + s16 conversion host-side (io/dexter_fft.py,
+            # src/DabModulator.cpp:214-277)
+            with jax.named_scope("dexter_quantise"):
+                out = jnp.stack(cplx.pmap(
+                    lambda x: jnp.rint(x * 16384.0).astype(jnp.int32),
+                    symbols))                      # [2, B, S, C]
+            new_state = {"ti_history": new_hist,
+                         "tf_index": state["tf_index"] + B}
+            # clipping is counted by the host FormatConverter stage
+            return out, new_state, {"num_clipped": jnp.zeros((),
+                                                             jnp.int32)}
 
         if self._kiss:
             # fft_engine=kiss: the whole back end runs in exact int16

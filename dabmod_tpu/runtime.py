@@ -374,6 +374,15 @@ class ModRuntime:
                     arr[..., 1] = im
                 else:
                     arr = np.asarray(iq)             # blocking D2H copy
+                    hb = (self.modulator.host_backend
+                          if self.modulator is not None else None)
+                    if hb is not None:
+                        # fft_engine=dexter: run the FFT-accelerator
+                        # offload chain (transform + wide GI + s16) on the
+                        # fetched Q1.14 symbols (io/dexter_fft.py)
+                        arr = hb(arr)
+                        self.output.num_clipped_samples = \
+                            hb.num_clipped_total
                 self._write_queue.put((arr, meta, T))
                 if "num_clipped" in stats:
                     # device-side FormatConverter clip counter: a scalar
