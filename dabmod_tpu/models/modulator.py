@@ -103,6 +103,21 @@ class Modulator:
         bm_src, bm_valid = tables.bin_map(mode)
         self._bin_src = np.asarray(bm_src)
         self._bin_valid = np.asarray(bm_valid.astype(np.float32))
+
+        # Deferred frequency interleaving: the interleaver is a pure
+        # carrier permutation and the differential cumsum acts per
+        # carrier, so they commute -- the front end emits symbols in
+        # interleaver-INPUT order and the permutation rides the fused
+        # OFDM backend's composed carrier->digit gather at zero cost
+        # (index-table composition), deleting the qpsk_map stage's own
+        # full HBM round trip over the symbol array.  Carrier-order
+        # constants (phase ref, TII, CIC) are pre-permuted here;
+        # consumers that need carrier order (XLA fallback bins, the
+        # kiss/dexter fixed-point chains) apply the same gather the old
+        # stage paid, so they are cost-neutral.
+        carrier_of_pre = np.argsort(self._inv_perm)
+        self._ref_q_pre = self._ref_q[carrier_of_pre]
+        self._bin_src_pre = self._inv_perm[self._bin_src]
         self._gi = tuple(np.asarray(a) for a in tables.guard_interval_tables(
             mode, s.ofdm_window_overlap))
 
@@ -110,8 +125,10 @@ class Modulator:
         if s.tii_enable:
             tii = tables.tii_symbol(
                 mode, s.tii_comb, s.tii_pattern, s.tii_old_variant)
+            # stored in interleaver-input order (deferred FI, above)
             self._tii_vec = tuple(
-                np.asarray(p) for p in cplx.planes_from_complex(tii))
+                np.asarray(p)[carrier_of_pre]
+                for p in cplx.planes_from_complex(tii))
         else:
             self._tii_vec = None
 
@@ -126,7 +143,8 @@ class Modulator:
                 taps = cic_equalizer_taps(
                     p.nb_carriers,
                     p.spacing * s.output_rate / 2_048_000.0, ratio)
-                self._cic_taps = np.asarray(taps)
+                # interleaver-input order (deferred FI, above)
+                self._cic_taps = np.asarray(taps)[carrier_of_pre]
 
         # --- FIR ---
         if s.filter_taps_file:
@@ -257,7 +275,7 @@ class Modulator:
                 p.spacing, s.enable_cfr, s.cfr_clip, s.cfr_error_clip,
                 precision=fft_mod._PRECISION,
                 interpret=(backend == "pallas-interpret"),
-                carrier_map=(self._bin_src, self._bin_valid))
+                carrier_map=(self._bin_src_pre, self._bin_valid))
 
         # f32 planes contract (see config.device_interleave): the runtime
         # writer interleaves pairs host-side at memcpy speed
@@ -404,18 +422,30 @@ class Modulator:
             tf_bits = fec.block_partition(fic_out, cif, C)
 
         with jax.named_scope("qpsk_map"):
+            # NOTE deferred FI: no interleave gather here -- symbols stay
+            # in interleaver-input order until the backend's composed
+            # gather (or an explicit freq_interleave for the consumers
+            # that need carrier order); the phase reference is the
+            # pre-permuted copy so the differential cumsum matches
             q = ofdm.qpsk_phase_indices(tf_bits, p.nb_carriers)
-            q = ofdm.freq_interleave(q, self._inv_perm)
         with jax.named_scope("diff_mod"):
-            phases = ofdm.diff_modulate(q, self._ref_q)
+            phases = ofdm.diff_modulate(q, self._ref_q_pre)
         with jax.named_scope("carriers"):
             out = ofdm.phases_to_carriers(phases)   # (re, im) planes
         return out, tuple(new_hist)
 
     def frontend(self, fic_bytes, subch_bytes, ti_history):
-        """Jitted front end (exposed for stage-level validation)."""
+        """Jitted front end (exposed for stage-level validation).
+
+        Returns symbols in CARRIER order (the external contract);
+        internally the deferred-FI permutation is applied here instead of
+        inside _frontend_impl -- see the deferred-FI note in __init__."""
         if not hasattr(self, "_frontend_jit"):
-            self._frontend_jit = jax.jit(self._frontend_impl)
+            def _fe(fic, subs, hist):
+                syms, new_hist = self._frontend_impl(fic, subs, hist)
+                return cplx.pmap(
+                    lambda x: x[..., self._inv_perm], syms), new_hist
+            self._frontend_jit = jax.jit(_fe)
         return self._frontend_jit(
             jnp.asarray(fic_bytes),
             tuple(jnp.asarray(x) for x in subch_bytes), ti_history)
@@ -456,6 +486,9 @@ class Modulator:
             # wide GI + s16 conversion host-side (io/dexter_fft.py,
             # src/DabModulator.cpp:214-277)
             with jax.named_scope("dexter_quantise"):
+                # deferred FI: restore carrier order for the host chain
+                symbols = cplx.pmap(
+                    lambda x: x[..., self._inv_perm], symbols)
                 out = jnp.stack(cplx.pmap(
                     lambda x: jnp.rint(x * 16384.0).astype(jnp.int32),
                     symbols))                      # [2, B, S, C]
@@ -472,6 +505,9 @@ class Modulator:
             # float approximation quantised at the end.
             from ..ops import kiss_fixed
             with jax.named_scope("kiss_ifft"):
+                # deferred FI: restore carrier order before bin placement
+                symbols = cplx.pmap(
+                    lambda x: x[..., self._inv_perm], symbols)
                 qsyms = cplx.pmap(
                     lambda x: jnp.rint(x * 16384.0).astype(jnp.int32),
                     symbols)
@@ -506,6 +542,11 @@ class Modulator:
                 # digit reorder are one composed gather inside the backend
                 td, kstats = self._ofdm_backend(symbols)
             else:
+                # deferred FI: the XLA fallback needs carrier order for
+                # the slice-form bin placement -- this is the same gather
+                # the old qpsk_map stage paid (cost-neutral)
+                symbols = cplx.pmap(
+                    lambda x: x[..., self._inv_perm], symbols)
                 bins = ofdm.to_bins_slices(
                     symbols, p.nb_carriers, p.spacing)
                 td = ofdm.ofdm_ifft(bins)        # planes [B, S, spacing]
