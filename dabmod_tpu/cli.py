@@ -59,15 +59,19 @@ def build_settings(argv) -> ModSettings:
         raise SystemExit("Invalid command line options")
     args = ap.parse_args(argv)
 
+    # option values that count as command-line modulator configuration --
+    # ONE tuple so the -C mutual-exclusion check and the argc==2 config
+    # detection below can never drift apart
+    flag_values = (args.digital_gain, args.output_file, args.format,
+                   args.gainmode, args.mode, args.tist_offset, args.rate,
+                   args.taps_file, args.clock_rate, args.uhd_device,
+                   args.txgain, args.batch_tf)
+    flags_used = (any(v is not None for v in flag_values) or args.loop)
+
     # -C plus any other option is rejected: the reference refuses to mix a
     # configuration file with command line arguments
     # (src/ConfigParser.cpp:624-636)
-    cmdline_used = (any(v is not None for v in (
-        args.digital_gain, args.output_file, args.format, args.gainmode,
-        args.mode, args.tist_offset, args.rate, args.taps_file,
-        args.clock_rate, args.uhd_device, args.txgain, args.batch_tf,
-        args.input)) or args.loop)
-    if args.config is not None and cmdline_used:
+    if args.config is not None and (flags_used or args.input is not None):
         ap.print_usage(sys.stderr)
         raise SystemExit("Invalid command line options: both configuration "
                          "file and command line arguments were given")
@@ -75,12 +79,7 @@ def build_settings(argv) -> ModSettings:
     # single non-flag argument and no other flags => config file, like the
     # reference's `argc == 2` rule
     only_positional = (args.input is not None and args.config is None
-                       and all(v is None for v in (
-                           args.digital_gain, args.output_file, args.format,
-                           args.gainmode, args.mode, args.tist_offset,
-                           args.rate, args.taps_file, args.clock_rate,
-                           args.uhd_device, args.txgain))
-                       and not args.loop
+                       and not flags_used
                        and not str(args.input).startswith("tcp://")
                        and (args.input.endswith(".ini")))
     if only_positional:

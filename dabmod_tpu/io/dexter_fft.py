@@ -165,11 +165,15 @@ class MockFftAcceleratorIio:
         return {"fft-accelerator-in": self._dev_in,
                 "fft-accelerator-out": self._dev_out}.get(name)
 
-    def Buffer(self, device, nbytes):
+    def Buffer(self, device, samples_count):
+        # pylibiio convention: the second argument is a SAMPLE count; the
+        # byte size follows from the device's enabled channel format
+        # (16+16-bit in, 32+32-bit out) -- same convention as the Dexter
+        # output driver's Buffer(dev, IIO_BUFFER_LEN_SAMPS)
         if device is self._dev_in:
-            return _MockInBuffer(self, device, nbytes)
+            return _MockInBuffer(self, device, samples_count * 4)
         if device is self._dev_out:
-            return _MockOutBuffer(self, device, nbytes)
+            return _MockOutBuffer(self, device, samples_count * 8)
         raise OSError("iio buffer on unknown device")
 
     # -- modeled accelerator ----------------------------------------------
@@ -222,8 +226,10 @@ class DexterFftAccelerator:
         # (ref: src/OfdmGenerator.cpp:621-622,772-773)
         self._nbytes_in = spacing * 4
         self._nbytes_out = spacing * 8
-        self._buf_in = iio_module.Buffer(self._dev_in, self._nbytes_in)
-        self._buf_out = iio_module.Buffer(self._dev_out, self._nbytes_out)
+        # pylibiio Buffer takes a sample count (one transform per buffer);
+        # byte sizes above are what push/refill must carry
+        self._buf_in = iio_module.Buffer(self._dev_in, spacing)
+        self._buf_out = iio_module.Buffer(self._dev_out, spacing)
 
     def _find(self, name):
         dev = self._ctx.find_device(name)
@@ -373,7 +379,8 @@ class DexterOfdmChain:
         self.accel = DexterFftAccelerator(
             mode_params.nb_symbols + 1, mode_params.nb_carriers,
             mode_params.spacing, iio_module=iio_module)
-        self.num_clipped_total = 0
+        self.num_clipped = 0          # last batch (RC parity with the
+        self.num_clipped_total = 0    # other paths) / lifetime total
 
     def __call__(self, symbols: np.ndarray) -> np.ndarray:
         p = self.p
@@ -392,6 +399,7 @@ class DexterOfdmChain:
             gi = guard_interval_unwindowed_wide(
                 (wide_re, wide_im), p.null_size, p.sym_size)
         s16, n_clipped = format_convert_wide_s16(*gi)
+        self.num_clipped = n_clipped
         self.num_clipped_total += n_clipped
         words = (s16[..., 1].astype(np.int32) << 16) \
             | (s16[..., 0].astype(np.int32) & 0xFFFF)

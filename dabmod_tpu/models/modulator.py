@@ -494,9 +494,10 @@ class Modulator:
                     symbols))                      # [2, B, S, C]
             new_state = {"ti_history": new_hist,
                          "tf_index": state["tf_index"] + B}
-            # clipping is counted by the host FormatConverter stage
-            return out, new_state, {"num_clipped": jnp.zeros((),
-                                                             jnp.int32)}
+            # no device clip stat: the host FormatConverter stage counts
+            # (emitting one here would be re-polled over the host value,
+            # runtime._fetch_loop's clip-poll cadence)
+            return out, new_state, {}
 
         if self._kiss:
             # fft_engine=kiss: the whole back end runs in exact int16

@@ -196,11 +196,6 @@ def compute_gain(symbols, mode: int, var_k) -> jnp.ndarray:
     return jnp.concatenate([g[..., 1:2], g[..., 1:]], axis=-1)
 
 
-def apply_gain(symbols, gains: jnp.ndarray, constant_gain):
-    g = (gains * constant_gain)[..., None]
-    return cplx.pmap(lambda x: x * g, symbols)
-
-
 # ---------------------------------------------------------------------------
 # Guard interval insertion (+ optional raised-cosine windowing)
 # ---------------------------------------------------------------------------

@@ -381,8 +381,7 @@ class ModRuntime:
                         # offload chain (transform + wide GI + s16) on the
                         # fetched Q1.14 symbols (io/dexter_fft.py)
                         arr = hb(arr)
-                        self.output.num_clipped_samples = \
-                            hb.num_clipped_total
+                        self.output.num_clipped_samples = hb.num_clipped
                 self._write_queue.put((arr, meta, T))
                 if "num_clipped" in stats:
                     # device-side FormatConverter clip counter: a scalar

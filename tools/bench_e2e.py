@@ -76,12 +76,13 @@ def measure_transport(n_tf: int = BATCH_TF) -> float:
                 with cf.ThreadPoolExecutor(threads) as ex:
                     list(ex.map(np.asarray, arrs))
             rates.append(k * nbytes / (time.perf_counter() - t0))
-    # median: the pipeline is judged over a ~30 s window, so the fair
-    # ceiling is the *sustained* burst rate, not the best of 6 samples
-    # of a transport that drifts +-20% (a 2-thread burst measured no
-    # faster than serial -- the tunnel is single-stream)
+    # return (sustained, peak): the sustained median judges typical
+    # capability; the PEAK burst is the efficiency denominator -- the
+    # pipeline's fetch pattern is identical to the probe's, so it cannot
+    # exceed the peak the transport demonstrated in the same windows,
+    # making pipeline_efficiency <= 1 up to residual drift
     rates.sort()
-    return rates[len(rates) // 2] / 1e6
+    return rates[len(rates) // 2] / 1e6, rates[-1] / 1e6
 
 
 def run_runtime(settings, target_seconds: float = 30.0):
@@ -167,7 +168,8 @@ def main():
         "transport_note": "tunnelled single-chip environment; D2H bandwidth "
                           "is the binding constraint and varies run to run, "
                           "so the ceiling is re-measured bracketing each "
-                          "config (mean of before/after).  The probe "
+                          "config (PEAK demonstrated burst of the "
+                          "brackets).  The probe "
                           "streams a continuous burst of batch-shaped "
                           "fetches (serial and 2-thread, best of both) -- "
                           "the same access pattern as the pipeline's "
@@ -187,18 +189,19 @@ def main():
         # the estimate.
         runs = []
         for _ in range(cycles):
-            t_before = measure_transport()
+            sus_b, peak_b = measure_transport()
             r = fn()
-            t_after = measure_transport()
-            ceil = ((t_before + t_after) / 2) * 1e6 \
-                / bytes_per_sample / 2_048_000
-            r["transport_MBps"] = round((t_before + t_after) / 2, 1)
+            sus_a, peak_a = measure_transport()
+            peak = max(peak_b, peak_a)
+            ceil = peak * 1e6 / bytes_per_sample / 2_048_000
+            r["transport_MBps"] = round((sus_b + sus_a) / 2, 1)
+            r["transport_peak_MBps"] = round(peak, 1)
             r["transport_ceiling_x"] = round(ceil, 2)
             r["pipeline_efficiency"] = round(r["x_realtime"] / ceil, 3)
             runs.append(r)
-        # median cycle: a mismatched window can read high OR low (the
-        # pipeline cannot truly beat the transport, so >1 just means the
-        # brackets sampled a slower period than the run)
+        # median cycle; the denominator is the PEAK demonstrated burst of
+        # the same access pattern, so efficiency <= 1 by construction up
+        # to residual drift between the brackets and the run
         runs.sort(key=lambda x: x["pipeline_efficiency"])
         r = dict(runs[len(runs) // 2])
         r["efficiency_cycles"] = [x["pipeline_efficiency"] for x in runs]
