@@ -101,6 +101,10 @@ class ModSettings:
     # events
     events_endpoint: str = ""            # ZMQ PUB endpoint for events
     log_trace_file: str = ""             # microsecond-stamped trace file
+    # per-stage raw .dat dumps of every pipeline stage (the reference's
+    # --enable-trace node files, src/Flowgraph.cpp:62-70,177-194); runs
+    # the modulator eagerly -- debug only
+    trace_dir: str = ""
     log_syslog: bool = False
     log_file: str = ""                   # file log (filelog=1 + filename)
     # runtime / batching (TPU-native additions)
@@ -185,6 +189,7 @@ def parse_ini(path: str) -> ModSettings:
         s.rc_zmq_endpoint = get("remotecontrol", "zmqctrlendpoint", "")
     s.events_endpoint = get("log", "events_endpoint", "") or ""
     s.log_trace_file = get("log", "trace", "") or ""
+    s.trace_dir = get("log", "trace_dir", "") or ""
     s.startup_check = get("general", "startupcheck", "") or ""
     s.log_syslog = getbool("log", "syslog", False)
     if getbool("log", "filelog", False):

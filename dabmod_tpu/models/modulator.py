@@ -288,6 +288,12 @@ class Modulator:
         # (parallel/sharding.make_sharded_time_interleave)
         self._time_interleave = fec.time_interleave
 
+        # per-stage debug tap (the reference's --enable-trace node dumps,
+        # src/Flowgraph.cpp:62-70,177-194): None in production, so the
+        # compiled graph carries no trace ops; modulate_traced installs a
+        # collector and runs the impl eagerly
+        self._tap = None
+
         self._modulate = jax.jit(self._modulate_impl, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
@@ -420,6 +426,7 @@ class Modulator:
             cif = fec.assemble_cif(cif_parts, self._subch_offsets,
                                    self._cif_filler)
             tf_bits = fec.block_partition(fic_out, cif, C)
+            self._t("fec", tf_bits)
 
         with jax.named_scope("qpsk_map"):
             # NOTE deferred FI: no interleave gather here -- symbols stay
@@ -428,10 +435,13 @@ class Modulator:
             # that need carrier order); the phase reference is the
             # pre-permuted copy so the differential cumsum matches
             q = ofdm.qpsk_phase_indices(tf_bits, p.nb_carriers)
+            self._t("qpsk_map", q)
         with jax.named_scope("diff_mod"):
             phases = ofdm.diff_modulate(q, self._ref_q_pre)
+            self._t("diff_mod", phases)
         with jax.named_scope("carriers"):
             out = ofdm.phases_to_carriers(phases)   # (re, im) planes
+            self._t("carriers", out)
         return out, tuple(new_hist)
 
     def frontend(self, fic_bytes, subch_bytes, ti_history):
@@ -478,6 +488,7 @@ class Modulator:
             if self._cic_taps is not None:
                 symbols = cplx.pmap(
                     lambda x: x * self._cic_taps[None, None, :], symbols)
+            self._t("tii_null", symbols)
 
         if self._dexter:
             # fft_engine=dexter: the transform belongs to the FPGA FFT
@@ -613,12 +624,15 @@ class Modulator:
                 stats["mer_valid"] = mer_idx > 0
                 mer_state["mer_index"] = (state["mer_index"] + B) % S
 
+        self._t("ofdm_ifft", td)
+
         with jax.named_scope("gain"):
             # gains fold into the guard-interval assembly below: the
             # reduction pass stays, the separate read-modify-write
             # apply-gain pass over the full symbol array disappears
             gains = ofdm.compute_gain(
                 td, self.settings.gain_mode, var_k) * constant_gain
+            self._t("gain", gains)
 
         with jax.named_scope("guard_interval"):
             if self.settings.ofdm_window_overlap == 0:
@@ -629,10 +643,12 @@ class Modulator:
                     td, p.null_size, p.sym_size,
                     self.settings.ofdm_window_overlap,
                     gains=gains)                    # planes [B, tf]
+        self._t("guard_interval", iq)
 
         if self._fir_taps is not None:
             with jax.named_scope("fir"):
                 iq = filters.fir_filter(iq, rp["fir_taps"])
+                self._t("fir", iq)
 
         new_state = {"ti_history": new_hist,
                      "tf_index": state["tf_index"] + B, **mer_state}
@@ -674,6 +690,7 @@ class Modulator:
                 else:
                     iq = filters.memless_lut(iq, rp["lut"],
                                              rp["lut_scale"])
+                self._t("dpd", iq)
 
         if self._wire_fmt == "s16":
             with jax.named_scope("format_convert"):
@@ -726,6 +743,43 @@ class Modulator:
     def modulate_eti(self, batch: EtiFrameBatch, state):
         """Convenience: modulate a parsed ETI batch."""
         return self.modulate(batch.fic, tuple(batch.subchannels), state)
+
+    def _t(self, name, value):
+        """Stage tap: no-op unless modulate_traced installed a collector."""
+        if self._tap is not None:
+            self._tap(name, value)
+
+    def modulate_traced(self, fic_bytes, subch_bytes, state, trace_dir):
+        """Debug-tap run: modulate() semantics, executed eagerly, with
+        every stage's output appended raw to `<idx>-<stage>.dat` files in
+        `trace_dir` -- the analogue of the reference's --enable-trace
+        per-node dumps (src/Flowgraph.cpp:62-70,177-194), for comparing
+        any stage against the reference offline.  (re, im) plane tuples
+        are written as interleaved pairs, matching the reference's
+        complexf buffer bytes."""
+        import os
+        s = self.settings
+        taps: list = []
+        self._tap = lambda name, v: taps.append((name, v))
+        try:
+            result = self._modulate_impl(
+                jnp.asarray(fic_bytes),
+                tuple(jnp.asarray(x) for x in subch_bytes), state,
+                jnp.float32(s.normalise * s.digital_gain),
+                jnp.float32(s.gain_mode_variance), self._runtime_params)
+        finally:
+            self._tap = None
+        os.makedirs(trace_dir, exist_ok=True)
+        for idx, (name, v) in enumerate(taps):
+            if isinstance(v, tuple) and len(v) == 2:
+                re, im = (np.asarray(x) for x in v)
+                a = np.stack([re, im], axis=-1)
+            else:
+                a = np.asarray(v)
+            path = os.path.join(trace_dir, f"{idx:02d}-{name}.dat")
+            with open(path, "ab") as f:
+                f.write(np.ascontiguousarray(a).tobytes())
+        return result
 
 
 # ---------------------------------------------------------------------------

@@ -675,8 +675,15 @@ class ModRuntime:
             # so the next loop iteration parses batch N+1 while the chip
             # computes batch N and the writer thread drains batch N-1
             self._tracepoint("modulate,dispatch %d" % T)
-            iq, self.state, stats = self.modulator.modulate_eti(
-                batch, self.state)
+            if self.settings.trace_dir:
+                # per-stage .dat dumps (the reference's --enable-trace
+                # node files): runs the modulator eagerly -- debug only
+                iq, self.state, stats = self.modulator.modulate_traced(
+                    batch.fic, tuple(batch.subchannels), self.state,
+                    self.settings.trace_dir)
+            else:
+                iq, self.state, stats = self.modulator.modulate_eti(
+                    batch, self.state)
             meta = [(int(batch.fct[i * C]), tf_ts[i])
                     for i in range(len(tf_ts))]
             p = self.modulator.p

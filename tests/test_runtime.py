@@ -374,3 +374,58 @@ def test_file_reader_pipe_dribble():
     got = r.frames()
     t.join()
     np.testing.assert_array_equal(got, frames)
+
+
+def test_trace_dir_stage_dumps(tmp_path):
+    """[log] trace_dir: per-stage raw .dat dumps, the analogue of the
+    reference's --enable-trace node files (src/Flowgraph.cpp:62-70,
+    177-194).  The traced run's final output must equal the compiled
+    run's, and the dumped stage files must carry the right sizes."""
+    import os
+
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.eti import parse_eti_frames
+    from dabmod_tpu.models import Modulator, make_default_layout
+    from dabmod_tpu import tables
+
+    layout = make_default_layout(1)
+    p = tables.mode_params(1)
+    raw = synth_eti_batch(8, mode=1, seed=9)
+    batch = parse_eti_frames(raw)
+    s = ModSettings(dab_mode=1, output="file", file_output_format="s16")
+    s.normalise_for_output()
+    m = Modulator(layout, s)
+    trace = tmp_path / "trace"
+
+    out_t, st_t, _ = m.modulate_traced(batch.fic, tuple(batch.subchannels),
+                                       m.init_state(), str(trace))
+    out_c, st_c, _ = m.modulate(batch.fic, tuple(batch.subchannels),
+                                m.init_state())
+    # eager (traced) vs compiled runs may differ by one s16 LSB where XLA
+    # fusion changes f32 rounding at a quantisation boundary
+    wire_t = np.asarray(out_t).view(np.int16).astype(np.int32)
+    wire_c = np.asarray(out_c).view(np.int16).astype(np.int32)
+    assert np.abs(wire_t - wire_c).max() <= 1
+
+    names = sorted(os.listdir(trace))
+    stages = [n.split("-", 1)[1] for n in names]
+    for want in ("fec.dat", "qpsk_map.dat", "diff_mod.dat", "carriers.dat",
+                 "tii_null.dat", "ofdm_ifft.dat", "gain.dat",
+                 "guard_interval.dat"):
+        assert want in stages, (want, stages)
+    B = 2
+    # carriers tap: (re, im) pairs of [B, 76, C] f32
+    car = np.fromfile(trace / names[stages.index("carriers.dat")],
+                      np.float32)
+    assert car.size == B * 76 * p.nb_carriers * 2
+    # guard interval output: full TF sample stream as f32 pairs
+    gi = np.fromfile(trace / names[stages.index("guard_interval.dat")],
+                     np.float32)
+    assert gi.size == B * p.tf_samples * 2
+
+    # appending behaviour: a second traced batch doubles the files
+    m.modulate_traced(batch.fic, tuple(batch.subchannels), st_t,
+                      str(trace))
+    gi2 = np.fromfile(trace / names[stages.index("guard_interval.dat")],
+                      np.float32)
+    assert gi2.size == 2 * gi.size
