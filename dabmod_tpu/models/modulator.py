@@ -503,6 +503,7 @@ class Modulator:
                 out = jnp.stack(cplx.pmap(
                     lambda x: jnp.rint(x * 16384.0).astype(jnp.int32),
                     symbols))                      # [2, B, S, C]
+                self._t("dexter_quantise", out)
             new_state = {"ti_history": new_hist,
                          "tf_index": state["tf_index"] + B}
             # no device clip stat: the host FormatConverter stage counts
@@ -527,6 +528,7 @@ class Modulator:
                                              p.spacing)
                 td_i = kiss_fixed.kiss_fft_fixed(bins_i[0], bins_i[1],
                                                  inverse=True)
+                self._t("kiss_ifft", td_i)
             with jax.named_scope("guard_interval"):
                 ov = self.settings.ofdm_window_overlap
                 if ov == 0:
@@ -535,6 +537,7 @@ class Modulator:
                 else:
                     iq_i = kiss_fixed.guard_interval_windowed_fixed(
                         td_i, p.null_size, p.sym_size, ov)
+                self._t("guard_interval", iq_i)
             with jax.named_scope("format_convert"):
                 # Q1.14 int planes -> packed i32 wire words, byte-identical
                 # to interleaved s16 pairs, with no layout pass
@@ -681,6 +684,8 @@ class Modulator:
                 new_state["res_in_tail"] = in_tail
                 new_state["res_out_tail"] = out_tail
                 iq = tuple(y[..., k].reshape(B, -1) for k in (0, 1))
+        if self._poly_plan or self._res_plan:
+            self._t("resampler", iq)
 
         if self._poly_am is not None or self._lut is not None:
             with jax.named_scope("dpd"):
@@ -702,6 +707,7 @@ class Modulator:
                 stats["num_clipped"] = n_clip
                 if rows_2d:
                     out = out.reshape(B, -1)
+                self._t("format_convert", out)
             return out, new_state, stats
 
         if self._wire_fmt is None and not self.settings.device_interleave:
@@ -728,57 +734,96 @@ class Modulator:
                 if out.dtype in (jnp.uint8, jnp.int8):
                     out = jax.lax.bitcast_convert_type(
                         out.reshape(*out.shape[:-2], -1, 4), jnp.int32)
+                self._t("format_convert", out)
         return out, new_state, stats
 
     # ------------------------------------------------------------------
+    def _marshal_args(self, fic_bytes, subch_bytes, state):
+        """One argument-marshalling path shared by the compiled and the
+        traced runs, so their contracts cannot drift."""
+        s = self.settings
+        return (jnp.asarray(fic_bytes),
+                tuple(jnp.asarray(x) for x in subch_bytes), state,
+                jnp.float32(s.normalise * s.digital_gain),
+                jnp.float32(s.gain_mode_variance), self._runtime_params)
+
     def modulate(self, fic_bytes, subch_bytes, state):
         """Run one batch.  fic_bytes [T, fic_len] uint8, subch_bytes tuple of
         [T, framesize] uint8 with T a multiple of cif_count."""
-        s = self.settings
-        return self._modulate(
-            jnp.asarray(fic_bytes), tuple(jnp.asarray(x) for x in subch_bytes),
-            state, jnp.float32(s.normalise * s.digital_gain),
-            jnp.float32(s.gain_mode_variance), self._runtime_params)
+        return self._modulate(*self._marshal_args(
+            fic_bytes, subch_bytes, state))
 
     def modulate_eti(self, batch: EtiFrameBatch, state):
         """Convenience: modulate a parsed ETI batch."""
         return self.modulate(batch.fic, tuple(batch.subchannels), state)
 
     def _t(self, name, value):
-        """Stage tap: no-op unless modulate_traced installed a collector."""
-        if self._tap is not None:
-            self._tap(name, value)
+        """Stage tap: no-op unless modulate_traced installed a collector.
+        Tracer values are skipped so a concurrent first jit-trace of the
+        (possibly cache-shared) modulator cannot leak tracers into an
+        in-progress traced run."""
+        if self._tap is None:
+            return
+        v0 = value[0] if isinstance(value, tuple) else value
+        if isinstance(v0, jax.core.Tracer):
+            return
+        self._tap(name, value)
+
+    # taps whose arrays live in interleaver-input order (deferred FI,
+    # see __init__): restored to carrier order at dump time so the files
+    # byte-compare against the reference's node dumps
+    _PRE_ORDER_TAPS = frozenset(
+        {"qpsk_map", "diff_mod", "carriers", "tii_null"})
 
     def modulate_traced(self, fic_bytes, subch_bytes, state, trace_dir):
         """Debug-tap run: modulate() semantics, executed eagerly, with
         every stage's output appended raw to `<idx>-<stage>.dat` files in
         `trace_dir` -- the analogue of the reference's --enable-trace
         per-node dumps (src/Flowgraph.cpp:62-70,177-194), for comparing
-        any stage against the reference offline.  (re, im) plane tuples
-        are written as interleaved pairs, matching the reference's
-        complexf buffer bytes."""
+        any stage against the reference offline.
+
+        * (re, im) plane tuples are written as interleaved pairs (the
+          reference's complexf buffer bytes); deferred-FI stages are
+          restored to carrier order first (_PRE_ORDER_TAPS).
+        * Files are TRUNCATED on this Modulator's first write (like the
+          reference's "wb" fopen at flowgraph construction) and appended
+          per batch thereafter; each tap is written and released as it
+          fires, so memory stays bounded at one stage.
+        * The `ofdm_ifft` tap carries the OfdmGenerator *node* output --
+          i.e. post-CFR when CFR is enabled -- matching the reference's
+          per-node dump granularity.
+        """
         import os
-        s = self.settings
-        taps: list = []
-        self._tap = lambda name, v: taps.append((name, v))
-        try:
-            result = self._modulate_impl(
-                jnp.asarray(fic_bytes),
-                tuple(jnp.asarray(x) for x in subch_bytes), state,
-                jnp.float32(s.normalise * s.digital_gain),
-                jnp.float32(s.gain_mode_variance), self._runtime_params)
-        finally:
-            self._tap = None
         os.makedirs(trace_dir, exist_ok=True)
-        for idx, (name, v) in enumerate(taps):
+        if not hasattr(self, "_trace_opened"):
+            self._trace_opened = set()
+        counter = [0]
+
+        def dump(name, v):
+            idx = counter[0]
+            counter[0] += 1
+            if name in self._PRE_ORDER_TAPS:
+                if isinstance(v, tuple):
+                    v = tuple(np.asarray(x)[..., self._inv_perm] for x in v)
+                else:
+                    v = np.asarray(v)[..., self._inv_perm]
             if isinstance(v, tuple) and len(v) == 2:
                 re, im = (np.asarray(x) for x in v)
                 a = np.stack([re, im], axis=-1)
             else:
                 a = np.asarray(v)
             path = os.path.join(trace_dir, f"{idx:02d}-{name}.dat")
-            with open(path, "ab") as f:
+            mode = "ab" if path in self._trace_opened else "wb"
+            self._trace_opened.add(path)
+            with open(path, mode) as f:
                 f.write(np.ascontiguousarray(a).tobytes())
+
+        self._tap = dump
+        try:
+            result = self._modulate_impl(*self._marshal_args(
+                fic_bytes, subch_bytes, state))
+        finally:
+            self._tap = None
         return result
 
 

@@ -423,9 +423,25 @@ def test_trace_dir_stage_dumps(tmp_path):
                      np.float32)
     assert gi.size == B * p.tf_samples * 2
 
+    # deferred-FI taps are restored to CARRIER order at dump time: the
+    # carriers dump must equal the public frontend() output exactly
+    syms, _ = m.frontend(batch.fic, tuple(batch.subchannels),
+                         m.init_state()["ti_history"])
+    pairs = np.stack([np.asarray(syms[0]), np.asarray(syms[1])], axis=-1)
+    np.testing.assert_array_equal(
+        car.reshape(pairs.shape), pairs)
+
     # appending behaviour: a second traced batch doubles the files
     m.modulate_traced(batch.fic, tuple(batch.subchannels), st_t,
                       str(trace))
     gi2 = np.fromfile(trace / names[stages.index("guard_interval.dat")],
                       np.float32)
     assert gi2.size == 2 * gi.size
+
+    # fresh Modulator => files truncated, not appended across runs
+    m2 = Modulator(layout, s)
+    m2.modulate_traced(batch.fic, tuple(batch.subchannels),
+                       m2.init_state(), str(trace))
+    gi3 = np.fromfile(trace / names[stages.index("guard_interval.dat")],
+                      np.float32)
+    assert gi3.size == gi.size
