@@ -268,7 +268,10 @@ class AfBuilder:
         ref = self._ref_frag()
         if ref is None:
             return "no"
-        if ref.fec:
+        if ref.fec and ref.plen > 0:
+            # plen==0 would divide by zero (the reference asserts on the
+            # equivalent cmax>0, lib/edi/PFT.cpp:305-306; a crafted
+            # fragment must not crash a network-facing input)
             cmax = (self.fcount * ref.plen) // (ref.rsk + 48)
             rxmin = self.fcount - (cmax * 48) // ref.plen
             if len(self.fragments) >= rxmin:
@@ -604,17 +607,20 @@ class EdiTcpTransport:
         self._reconnect_delay = reconnect_delay
         self.num_reconnects = 0
         self.sock: socket.socket | None = None
-        self._connect(initial=True)
+        # a failed first connect is tolerated (the mux may start after
+        # the modulator -- same liveness contract as EtiTcpReader);
+        # rx_packet keeps retrying with backoff
+        if not self._connect():
+            log.warning("EDI TCP: initial connect to %s:%d failed, "
+                        "will retry", *self._addr)
 
-    def _connect(self, initial: bool = False) -> bool:
+    def _connect(self) -> bool:
         try:
             self.sock = socket.create_connection(
                 self._addr, timeout=self._timeout)
             self.sock.settimeout(self._timeout)
             return True
         except OSError:
-            if initial:
-                raise
             self.sock = None
             return False
 

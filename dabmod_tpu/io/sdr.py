@@ -42,6 +42,20 @@ def sc16_pairs(frame: np.ndarray) -> np.ndarray:
     return frame
 
 
+def f32_pairs_from_wire(frame: np.ndarray) -> np.ndarray:
+    """Any wire frame -> float32 (N, 2) I/Q pairs in +-1.0 full scale.
+
+    Integer (packed-s16 / sc16) frames map int16 full scale to 1.0 (DAC
+    full scale); float frames pass through.  The ONE conversion shared by
+    every float-streaming consumer (UHD/Soapy fc32 paths, the loopback
+    device, the DPD feedback snapshot) so the scaling convention cannot
+    drift between drivers."""
+    if np.issubdtype(frame.dtype, np.integer):
+        return (sc16_pairs(frame).reshape(-1, 2).astype(np.float32)
+                * (1.0 / 32768.0))
+    return np.asarray(frame, np.float32).reshape(-1, 2)
+
+
 def n_complex_samples(frame: np.ndarray) -> int:
     """Complex sample count of a frame in any wire layout (f32/int16
     pairs, or i32-packed s16 where one word is one complex sample)."""
@@ -138,7 +152,9 @@ class LoopbackSdrDevice(SdrDevice):
             for samples, fts in self._history:
                 if fts is not None and ts is not None \
                         and fts.seconds == ts.seconds and fts.pps == ts.pps:
-                    flat = samples.reshape(-1, 2)
+                    # kiss/device-converted frames arrive as packed-s16
+                    # wire words; the PA model needs float pairs
+                    flat = f32_pairs_from_wire(samples)
                     sel = flat[:num_samples]
                     gain = 10.0 ** ((self.txgain + self.rxgain) / 20.0)
                     rx = self.pa_model(sel[:, 0] + 1j * sel[:, 1]) * gain
@@ -273,10 +289,9 @@ class SdrOutput:
         if self.feedback_server is not None and ts is not None:
             snap = frame
             if np.issubdtype(snap.dtype, np.integer):
-                # the DPD engine consumes f32 pairs; unpack the wire
-                # words and renormalise int16 full scale to +-1.0
-                snap = sc16_pairs(snap).astype(np.float32)
-                snap *= 1.0 / 32768.0
+                # the DPD engine consumes f32 pairs (shared conversion,
+                # see f32_pairs_from_wire)
+                snap = f32_pairs_from_wire(snap)
             self.feedback_server.set_tx_frame(snap, ts)
         # push_overflow: drop oldest on full (lib/ThreadsafeQueue.h).  The
         # evict-one-then-put must be atomic against other producers, else a
@@ -454,6 +469,13 @@ class DpdFeedbackServer:
             tx = self._tx_frame
             ts = self._tx_ts
         rx, rx_ts = self.device.receive_frame(num_samples, ts)
+        rx = np.asarray(rx, np.float32).reshape(-1, 2)
+        if rx.shape[0] < num_samples:
+            # the header advertises num_samples for BOTH streams; a short
+            # device read must still honour the wire contract or the
+            # client blocks on its socket
+            rx = np.concatenate(
+                [rx, np.zeros((num_samples - rx.shape[0], 2), np.float32)])
         sec = ts.seconds if ts else 0
         pps = ts.pps if ts else 0
         conn.sendall(struct.pack("=III", tx.shape[0], sec, pps))

@@ -174,9 +174,8 @@ class SoapyDevice(SdrDevice):
             # device-converted frames arrive as packed s16 wire words;
             # this driver streams fc32 (full scale +-1.0), so divide by
             # 32768 to map int16 full scale onto DAC full scale
-            from .sdr import sc16_pairs
-            samples = sc16_pairs(samples).astype(np.float32)
-            samples *= 1.0 / 32768.0
+            from .sdr import f32_pairs_from_wire
+            samples = f32_pairs_from_wire(samples)
         flat = np.ascontiguousarray(samples, np.float32).reshape(-1, 2)
         cplx = flat.view(np.complex64).reshape(-1)
         n = cplx.shape[0]
@@ -241,8 +240,11 @@ class SoapyDevice(SdrDevice):
         if ret != 0:
             raise RuntimeError(f"Soapy activate RX stream failed: {ret}")
         buf = np.zeros(num_samples, np.complex64)
-        result = self.dev.readStream(self._rx_stream, [buf], num_samples,
-                                     0, time_ns)
+        # python-API signature is (stream, buffs, numElems, flags,
+        # timeoutUs): the C++ timeNs is an OUT param surfaced on the
+        # result object, NOT an argument -- passing time_ns here would
+        # set a ~50-year timeout
+        result = self.dev.readStream(self._rx_stream, [buf], num_samples)
         got = self._ret(result)
         rx_ns = int(getattr(result, "timeNs", time_ns))
         ret = self.dev.deactivateStream(self._rx_stream)

@@ -384,9 +384,8 @@ class UhdDevice(SdrDevice):
             # int16 full scale maps to DAC full scale (UHD.cpp:233-234);
             # this driver streams fc32 (full scale +-1.0), so divide by
             # 32768 to hit the same DAC amplitude.
-            from .sdr import sc16_pairs
-            samples = sc16_pairs(samples).astype(np.float32)
-            samples *= 1.0 / 32768.0
+            from .sdr import f32_pairs_from_wire
+            samples = f32_pairs_from_wire(samples)
         flat = np.ascontiguousarray(samples, np.float32).reshape(-1, 2)
         cplx = flat.view(np.complex64).reshape(-1)
         n = cplx.shape[0]

@@ -81,6 +81,11 @@ class ModRuntime:
         self.num_restarts = 0
         self.framecount = 0
         self._pending = np.empty((0, 6144), np.uint8)
+        # EDI timestamps ride in lockstep with _pending: one [seconds,
+        # utco, tsta] row per pending frame, trimmed by exactly the same
+        # slices (a bare side-list desyncs the moment FP-0 alignment or an
+        # FCT-discontinuity requeue drops frames)
+        self._pending_times: np.ndarray | None = None
         self._last_fct = -1
         self._aligned = False
         self._rebuild = False
@@ -540,6 +545,19 @@ class ModRuntime:
             log.info("delaymanagement: dynamic offset now %f s", offset)
             self.ts_decoder.offset_s = offset
 
+    def _take_reader_times(self, n: int):
+        """Move n just-read per-frame timestamps from the reader into the
+        _pending-aligned buffer (no-op for non-EDI readers)."""
+        ts = getattr(self.reader, "timestamps", None)
+        if ts is None or n == 0:
+            return
+        take, del_n = ts[:n], min(n, len(ts))
+        del ts[:del_n]
+        arr = np.asarray(take, np.float64).reshape(len(take), 3)
+        if self._pending_times is None:
+            self._pending_times = np.empty((0, 3), np.float64)
+        self._pending_times = np.concatenate([self._pending_times, arr])
+
     def _drop_until_fp0(self):
         """Do not start the pipeline before frame phase 0, so all blocks are
         properly aligned (ref: src/DabMod.cpp:683-692).  Operates on raw
@@ -550,8 +568,13 @@ class ModRuntime:
         zeros = np.nonzero(fp == 0)[0]
         if zeros.size == 0:
             self._pending = self._pending[:0]
+            if self._pending_times is not None:
+                self._pending_times = self._pending_times[:0]
             return
-        self._pending = self._pending[int(zeros[0]):]
+        k = int(zeros[0])
+        self._pending = self._pending[k:]
+        if self._pending_times is not None:
+            self._pending_times = self._pending_times[k:]
         self._aligned = True
 
     def _check_continuity(self, batch):
@@ -595,6 +618,7 @@ class ModRuntime:
             probe = self.reader.read_batch(4 if need_probe else 0)
             if probe.size:
                 self._pending = np.concatenate([self._pending, probe])
+                self._take_reader_times(len(probe))
             self._drop_until_fp0()
             if self._pending.shape[0] == 0:
                 if probe.size == 0 and not stream:
@@ -615,6 +639,7 @@ class ModRuntime:
                 if more.size == 0:
                     break
                 self._pending = np.concatenate([self._pending, more])
+                self._take_reader_times(len(more))
 
             T = (self._pending.shape[0] // C) * C
             if T == 0:
@@ -622,12 +647,22 @@ class ModRuntime:
                     continue        # timeout: keep the transmitter alive
                 return RunResult.NORMAL_END
             raw, self._pending = self._pending[:T], self._pending[T:]
+            times_batch = None
+            if self._pending_times is not None:
+                times_batch = self._pending_times[:T]
+                self._pending_times = self._pending_times[T:]
+
+            def _requeue_times(from_idx):
+                if times_batch is not None:
+                    self._pending_times = np.concatenate(
+                        [times_batch[from_idx:], self._pending_times])
 
             try:
                 batch = parse_eti_frames(raw)
             except EnsembleReconfigured:
                 # replay frame-by-frame on next run with a fresh pipeline
                 self._pending = np.concatenate([raw, self._pending])
+                _requeue_times(0)
                 self.modulator = None
                 return RunResult.RECONFIGURE
 
@@ -640,6 +675,7 @@ class ModRuntime:
                 # flowgraph at this point, src/DabMod.cpp:694-707)
                 self._pending = np.concatenate(
                     [raw[e.args[1]:], self._pending])
+                _requeue_times(e.args[1])
                 self._aligned = False
                 self._last_fct = -1
                 return RunResult.AGAIN
@@ -648,21 +684,19 @@ class ModRuntime:
             # One timestamp per *transmission frame* (its earliest ETI
             # frame's), so SFN gating can act per TF downstream
             # (ref: src/output/SDR.cpp:135-201).
-            edi_times = getattr(self.reader, "timestamps", None)
             tf_ts = []
-            if edi_times:
+            if times_batch is not None and len(times_batch):
                 for i in range(len(batch)):
-                    if i < len(edi_times):
-                        seconds, utco, tsta = edi_times[i]
+                    if i < len(times_batch):
+                        seconds, utco, _tsta = times_batch[i]
                         # EDI epoch is 2000-01-01 plus UTCO leap-second
                         # offset (ref: src/EtiReader.cpp:476-529)
-                        posix = seconds + 946_684_800 + 32 - utco
+                        posix = int(seconds) + 946_684_800 + 32 - int(utco)
                         self.ts_decoder.update_edi(
                             posix, batch.tist_pps[i], batch.fct[i],
                             batch.fp[i])
                     if i % C == 0:
                         tf_ts.append(self.ts_decoder.timestamp())
-                del edi_times[:len(batch)]
             else:
                 tf_ts = self.ts_decoder.update_eti_batch(
                     batch.fp, batch.mnsc, batch.tist_pps, batch.fct, C)

@@ -445,3 +445,59 @@ def test_trace_dir_stage_dumps(tmp_path):
     gi3 = np.fromfile(trace / names[stages.index("guard_interval.dat")],
                       np.float32)
     assert gi3.size == gi.size
+
+
+def test_edi_timestamps_stay_aligned_after_drops(tmp_path):
+    """EDI per-frame timestamps must stay paired with their frames when
+    the runtime drops frames (FP-0 alignment, FCT-discontinuity requeue);
+    a bare side-list desyncs and shifts every SFN timestamp by the number
+    of dropped frames (ref: src/EtiReader.cpp:476-529 keeps them paired)."""
+    from dabmod_tpu.config import ModSettings
+    from dabmod_tpu.runtime import ModRuntime
+
+    # 16 frames starting at FP=2: the first 2 frames (FP 2,3... wait: FP
+    # cycles 0..7 per 8 frames at mode 1 -> synth starts at FP 0; slice 2
+    frames = synth_eti_batch(18, mode=1)
+    frames = frames.reshape(18, 6144)[2:]          # starts at FP=2
+    inp = _write_raw(tmp_path, frames.reshape(-1))
+    out = str(tmp_path / "out.iq")
+    s = ModSettings(input_name=inp, output="file", output_name=out,
+                    file_output_format="s16", batch_tf=2)
+    s.normalise_for_output()
+    rt = ModRuntime(s)
+
+    # wrap the real reader with an EDI-like timestamps side channel: frame
+    # k (0-based in the sliced stream) carries seconds=1000+k
+    class EdiLikeReader:
+        never_eof = False
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.timestamps = []
+            self._k = 0
+
+        def read_batch(self, n):
+            raw = self.inner.read_batch(n)
+            for _ in range(len(raw)):
+                self.timestamps.append((1000 + self._k, 32, 0))
+                self._k += 1
+            return raw
+
+        def close(self):
+            self.inner.close()
+    rt.reader = EdiLikeReader(rt.reader)
+
+    seen = []
+    orig = rt.ts_decoder.update_edi
+    rt.ts_decoder.update_edi = (
+        lambda posix, pps, fct, fp: (seen.append((posix, int(fct))),
+                                     orig(posix, pps, fct, fp))[1])
+    assert rt.run() == 0
+    rt.close()
+    # FP-0 alignment drops the first 6 frames (FP 2..7), whose timestamps
+    # 1000..1005 must be discarded with them: the first *processed* frame
+    # is stream index 6 (seconds 1006), and pairing stays 1:1 after
+    assert seen, "no EDI timestamps reached the decoder"
+    base_posix = 1006 + 946_684_800 + 32 - 32
+    for j, (posix, fct) in enumerate(seen):
+        assert posix == base_posix + j, (j, posix, seen[:4])

@@ -285,3 +285,22 @@ def test_lut_engine_closed_loop():
         stop.set()
         server.stop()
         rcs.shutdown()
+
+
+def test_loopback_receive_unpacks_wire_words():
+    """kiss/device-converted frames reach the loopback device as i32
+    packed-s16 wire words; receive_frame must unpack and renormalise them
+    before the PA model, not reinterpret raw words as float amplitudes."""
+    from dabmod_tpu.io.sdr import LoopbackSdrDevice
+    from dabmod_tpu.timestamps import FrameTimestamp
+
+    dev = LoopbackSdrDevice()
+    dev.txgain = dev.rxgain = 0.0
+    ts = FrameTimestamp(valid=True, seconds=7, pps=0)
+    pairs = (np.arange(64, dtype=np.int16).reshape(32, 2) * 100)
+    words = (pairs[:, 1].astype(np.int32) << 16) \
+        | (pairs[:, 0].astype(np.int32) & 0xFFFF)
+    dev.transmit_frame(words, ts)
+    rx, _ = dev.receive_frame(32, ts)
+    expect = pairs.astype(np.float32) / 32768.0
+    np.testing.assert_allclose(rx, expect, atol=1e-6)

@@ -42,6 +42,7 @@ class FakeSoapyDevice:
         self.deactivations = []
         self.write_script = []           # forced returns before success
         self.rx_data = None
+        self.rx_time_ns = 0
 
     # -- identity / config ------------------------------------------------
     def getDriverKey(self):
@@ -98,6 +99,8 @@ class FakeSoapyDevice:
 
     def activateStream(self, stream, flags=0, timeNs=0, numElems=0):
         self.activations.append((stream, flags, timeNs, numElems))
+        if stream == ("stream", 1):      # timed RX burst starts here
+            self.rx_time_ns = timeNs
         return 0
 
     def deactivateStream(self, stream):
@@ -114,11 +117,15 @@ class FakeSoapyDevice:
         self.writes.append((numElems, flags, timeNs))
         return StreamResult(numElems, timeNs)
 
-    def readStream(self, stream, buffs, numElems, flags, timeNs):
+    def readStream(self, stream, buffs, numElems, flags=0,
+                   timeoutUs=100_000):
+        # real pylibsoapysdr surface: timeNs is an OUT field on the
+        # result, not an input (the driver must NOT pass it here)
         data = self.rx_data if self.rx_data is not None \
             else np.arange(numElems, dtype=np.complex64)
         buffs[0][:len(data)] = data[:numElems]
-        return StreamResult(min(len(data), numElems), timeNs + 777)
+        return StreamResult(min(len(data), numElems),
+                            self.rx_time_ns + 777)
 
 
 def make_mock():
