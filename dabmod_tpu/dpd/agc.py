@@ -42,8 +42,13 @@ class RxAgc:
                   f"{rx_peak:.4f}, correction {correction_db:+.2f} dB, "
                   f"new RX gain {self.rxgain:.2f}")
         if self.rxgain < self.min_rxgain:
+            # clamp the stored value too: the next run() drives the
+            # hardware with self.rxgain and must not push an unsupported
+            # gain (ref: python/dpd/RX_Agc.py keeps gain in range)
+            self.rxgain = float(self.min_rxgain)
             return False, report + " -- below minimum, RX power too high"
         if self.rxgain > self.max_rxgain:
+            self.rxgain = float(self.min_rxgain)
             self.adapt.set_rxgain(self.min_rxgain)
             return False, report + " -- above maximum, increase RX power"
         self.adapt.set_rxgain(self.rxgain)

@@ -18,22 +18,30 @@ import time
 import numpy as np
 
 from . import Adapt, ExtractStatistic, Measure, Poly
+from .align import align_tx_rx
 from .heuristics import get_learning_rate
-from .measure import normalise_rx, phase_align
+from .measure import normalise_rx, phase_align_rx
 from .model_lut import Lut
 
 log = logging.getLogger("dpdce")
 
 
 def normalise_burst(tx: np.ndarray, rx: np.ndarray):
-    """Peak-normalise a measured TX/RX pair and align RX to TX; raises on
-    an empty/invalid burst (the caller decides whether to retry)."""
+    """Time-align (integer + fractional lag), peak-normalise and
+    phase-align a measured TX/RX pair; raises on an empty/invalid burst
+    (the caller decides whether to retry).  The time alignment is NOT
+    optional on real hardware: the RX path has fixed group delay, and
+    per-sample statistics on unaligned bursts are meaningless
+    (ref: python/dpd/Measure.py:87-103 always aligns)."""
     if tx.size == 0 or not (np.all(np.isfinite(tx))
                             and np.all(np.isfinite(rx)) and np.any(rx)):
         raise ValueError("empty/invalid feedback burst")
+    tx, rx = align_tx_rx(tx, rx)
+    if tx.size == 0:
+        raise ValueError("empty burst after alignment")
     peak = float(np.abs(tx).max()) or 1.0
     txn, rxn = tx / peak, rx / peak
-    return txn, phase_align(txn, normalise_rx(txn, rxn))
+    return txn, phase_align_rx(txn, normalise_rx(txn, rxn))
 
 
 def adapt_iteration(model, model_kind: str, lr: float,

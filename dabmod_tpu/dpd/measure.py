@@ -61,13 +61,19 @@ class Measure:
         return tx_a, tx_ts, rx_a, rx_ts, rx_median, tx_median
 
 
-def phase_align(tx: np.ndarray, rx: np.ndarray) -> np.ndarray:
-    """Remove the bulk phase rotation between rx and tx
-    (simplified python/dpd/phase_align.py)."""
+def phase_align_rx(tx: np.ndarray, rx: np.ndarray) -> np.ndarray:
+    """Remove the bulk phase rotation of RX relative to TX, returning the
+    rotated RX.  Named distinctly from align.phase_align(sig, ref) --
+    which rotates its FIRST argument -- so the two cannot be swapped
+    silently (simplified python/dpd/phase_align.py)."""
     corr = np.sum(rx * np.conj(tx))
     if np.abs(corr) == 0:
         return rx
     return rx * np.exp(-1j * np.angle(corr))
+
+
+# backwards-compat alias (argument order differs from align.phase_align!)
+phase_align = phase_align_rx
 
 
 def normalise_rx(tx: np.ndarray, rx: np.ndarray) -> np.ndarray:

@@ -111,6 +111,9 @@ class DpdceServer:
                 self._publish("Idle", f"{method} failed: {e}")
 
     def _publish(self, state: str, message: str, **extra):
+        # bound each entry: the whole results dict must fit one yamlrpc
+        # datagram (rc/yamlrpc.UDP_PACKETSIZE) or the client truncates
+        message = message[:120]
         summary = list(self.results.get("summary", []))[-9:] + [message]
         self._seq += 1
         self.results = {**self.results, "state": state, "summary": summary,
@@ -149,6 +152,11 @@ class DpdceServer:
                       iteration=0)
 
     def _dump_path(self, dump_id: str) -> str:
+        # dump ids are millisecond timestamps; reject anything else so a
+        # crafted restore_dump request cannot traverse out of dump_dir
+        # (the control socket is unauthenticated localhost UDP)
+        if not str(dump_id).isdigit():
+            raise ValueError(f"invalid dump id {dump_id!r}")
         return os.path.join(self.dump_dir, f"dpdce_dump_{dump_id}.npz")
 
     DUMPS_KEPT = 20
@@ -175,14 +183,15 @@ class DpdceServer:
             raise RuntimeError("no dump available")
         d = np.load(self._dump_path(str(dump_id)))
         txn, rxn = d["tx"], d["rx"]
-        if self.model_kind == "lut":
-            self.model.train(txn, rxn)
-        else:
-            es = ExtractStatistic(peak_amplitude=1.0)
-            tx_avg, rx_avg, ph = es.extract(txn, rxn)
-            self.model.train(tx_avg, rx_avg, ph)
+        # one shared adaptation step (same guards + lr policy as the
+        # engines -- a third training copy would drift)
+        result = adapt_iteration(self.model, self.model_kind,
+                                 get_learning_rate(self.iteration), txn, rxn)
+        if result["state"] != "adapted":
+            raise RuntimeError(f"dump {dump_id} unusable: {result}")
         self._publish("Idle", f"restored dump {dump_id}",
-                      restored_dump=str(dump_id))
+                      restored_dump=str(dump_id), **{
+                          k: v for k, v in result.items() if k != "state"})
 
     def _calibrate(self):
         """One measurement pass reporting the TX/RX alignment quality

@@ -43,12 +43,8 @@ class MeasureShoulders:
         windows = np.stack([signal[o:o + c.MS_FFT_size] for o in offsets])
         spec = np.fft.fftshift(np.fft.fft(windows, axis=-1), axes=-1)
         fft_db = 20.0 * np.log10(np.abs(spec) + 1e-30)
-        peaks = np.mean(fft_db[:, c.MS_peak_start:c.MS_peak_end], axis=-1)
-        left = np.mean(fft_db[:, c.MS_shoulder_left_start:
-                              c.MS_shoulder_left_end], axis=-1)
-        right = np.mean(fft_db[:, c.MS_shoulder_right_start:
-                               c.MS_shoulder_right_end], axis=-1)
-        shoulders = (left + right) / 2.0
-        diffs = peaks - shoulders
-        return (float(np.mean(diffs)), float(np.mean(shoulders)),
-                float(np.mean(peaks)))
+        # one window-slicing definition: calc_shoulder handles the whole
+        # batch via its leading-... indexing, and mean(per-window diffs)
+        # == mean(peaks) - mean(shoulders) exactly (equal window sizes)
+        peak, shoulder = calc_shoulder(fft_db, c)
+        return (peak - shoulder, shoulder, peak)

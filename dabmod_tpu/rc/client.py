@@ -5,15 +5,31 @@ from __future__ import annotations
 class ModRemoteControl:
     def __init__(self, endpoint: str, timeout_s: float = 5.0):
         import zmq
+        self._zmq = zmq
+        self._endpoint = endpoint
+        self._timeout_ms = int(timeout_s * 1000)
         self._ctx = zmq.Context.instance()
-        self.sock = self._ctx.socket(zmq.REQ)
-        self.sock.setsockopt(zmq.LINGER, 0)
-        self.sock.setsockopt(zmq.RCVTIMEO, int(timeout_s * 1000))
-        self.sock.connect(endpoint)
+        self.sock = self._make_socket()
+
+    def _make_socket(self):
+        sock = self._ctx.socket(self._zmq.REQ)
+        sock.setsockopt(self._zmq.LINGER, 0)
+        sock.setsockopt(self._zmq.RCVTIMEO, self._timeout_ms)
+        sock.connect(self._endpoint)
+        return sock
 
     def _req(self, *parts: str) -> list[str]:
-        self.sock.send_multipart([p.encode() for p in parts])
-        return [p.decode() for p in self.sock.recv_multipart()]
+        try:
+            self.sock.send_multipart([p.encode() for p in parts])
+            return [p.decode() for p in self.sock.recv_multipart()]
+        except self._zmq.ZMQError:
+            # a REQ socket that timed out (or was used after one) is
+            # stuck in its state machine; recreate it so the next call
+            # works once the modulator is back (the reference's zmqrc
+            # client has the same recv timeout semantics)
+            self.sock.close(0)
+            self.sock = self._make_socket()
+            raise
 
     def ping(self) -> bool:
         return self._req("ping") == ["ok"]

@@ -45,7 +45,13 @@ def notification(method: str, params) -> bytes:
 
 
 def _parse(data: bytes) -> dict:
-    y = yaml.safe_load(data.decode())
+    try:
+        y = yaml.safe_load(data.decode(errors="replace"))
+    except yaml.YAMLError as e:
+        # surface malformed datagrams as ValueError: serve loops catch
+        # that (yaml.YAMLError is a plain Exception subclass, and one
+        # port-scan datagram must not kill the RPC thread)
+        raise ValueError(f"Malformed yamlrpc datagram: {e}") from None
     if not isinstance(y, dict) or "yamlrpc" not in y:
         raise ValueError("Message is not yamlrpc")
     if y["yamlrpc"] != YAMLRPC_VERSION:
@@ -80,20 +86,26 @@ class Socket:
         return self._last_request_id
 
     def receive_response(self, expected_msg_id: int):
-        try:
-            data, _addr = self.socket.recvfrom(UDP_PACKETSIZE)
-        except socket.timeout:
-            raise TimeoutError("no yamlrpc response") from None
-        y = _parse(data)
-        if "id" not in y:
-            raise ValueError("Response is missing id")
-        if y["id"] != expected_msg_id:
-            raise ValueError("Response id does not match request")
-        if "result" in y:
-            return y["result"]
-        if "error" in y:
-            raise ResponseError(y["error"])
-        raise ValueError("response carries neither result nor error")
+        # drop stale datagrams (responses to requests that already timed
+        # out) instead of erroring: one late reply must not desync every
+        # subsequent RPC on this socket
+        while True:
+            try:
+                data, _addr = self.socket.recvfrom(UDP_PACKETSIZE)
+            except socket.timeout:
+                raise TimeoutError("no yamlrpc response") from None
+            y = _parse(data)
+            if "id" not in y:
+                raise ValueError("Response is missing id")
+            if y["id"] != expected_msg_id:
+                if isinstance(y["id"], int) and y["id"] < expected_msg_id:
+                    continue                     # stale, discard
+                raise ValueError("Response id does not match request")
+            if "result" in y:
+                return y["result"]
+            if "error" in y:
+                raise ResponseError(y["error"])
+            raise ValueError("response carries neither result nor error")
 
     def call_rpc_method(self, dest_port: int, method: str, params):
         return self.receive_response(
